@@ -1,0 +1,159 @@
+"""Typed configuration for the whole framework.
+
+A single dataclass replaces the reference's composed argparse groups
+(`/root/reference/ProteinReDiff/model.py:130-170`, `train.py:54-61`); field
+names match the reference CLI flags 1:1 (``--single_dim``, ``--mask_prob``,
+…) so README commands port directly. Dead reference args (the GVP/recycle
+group, `model.py:160-170`) are kept as accepted-but-unused fields for
+checkpoint/CLI compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from argparse import ArgumentParser, Namespace
+from typing import Any, Mapping, Optional, Tuple, Union
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser + diffusion hyperparameters (reference `model.py:139-158`)."""
+
+    # Diffusion
+    mask_prob: float = 1.0
+    num_steps: int = 64
+    diffusion_schedule: str = "linear"
+    training_mode: bool = False
+    # Network dims
+    esm_dim: int = 1280
+    time_dim: int = 256
+    dist_dim: int = 256
+    single_dim: int = 512
+    pair_dim: int = 64
+    head_dim: int = 16
+    num_heads: int = 4
+    transition_factor: int = 4
+    num_blocks: int = 12
+    max_bond_distance: int = 7
+    max_relpos: int = 32
+    # Optimization
+    learning_rate: float = 4e-4
+    warmup_steps: int = 1000
+    ema_decay: float = 0.999
+    # Dead reference args kept for CLI/checkpoint compatibility
+    # (`model.py:160-170`; n_recycles is stored but never used upstream).
+    n_recycles: int = 4
+    top_k_neighbors: int = 30
+    dropout: float = 0.3
+    num_gvp_encoder_layers: int = 3
+    num_positional_embeddings: int = 16
+    gvp_edge_hidden_dim_scalar: int = 32
+    gvp_edge_hidden_dim_vector: int = 32
+    # TPU-native knobs (new in this framework)
+    dtype: str = "bfloat16"        # activation/compute dtype
+    param_dtype: str = "float32"   # parameter dtype
+    remat: bool = True             # jax.checkpoint per FoldingBlock
+    use_pallas: bool = False       # Pallas kernels for hot ops
+
+    @property
+    def num_residue_classes(self) -> int:
+        return 21  # 20 residue types + pad/mask class 0
+
+    def replace(self, **kw: Any) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset/batching options (reference `data.py:206-259`)."""
+
+    data_dir: str = "data"
+    cache_dir: Optional[str] = None  # default: <data_dir>/PDB_processed_cache
+    batch_size: int = 1
+    num_workers: int = 1
+    # Static-shape buckets for XLA (new; the reference pads per-batch
+    # dynamically at `data.py:81`, which would force recompilation).
+    buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512)
+
+    def resolved_cache_dir(self) -> str:
+        if self.cache_dir is not None:
+            return self.cache_dir
+        return f"{self.data_dir}/PDB_processed_cache"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer options (reference `train.py:34-50` Lightning flags)."""
+
+    seed: int = 1234
+    save_dir: str = "runs/default"
+    max_steps: int = -1            # -1: run until killed (ref max_epochs=-1)
+    max_epochs: int = -1
+    val_every_steps: int = 1000
+    log_every_steps: int = 50
+    checkpoint_top_k: int = 3
+    accumulate_grad_batches: int = 1
+    num_devices: int = -1          # -1: all visible devices
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None=auto
+    gradient_clip_norm: float = 0.0  # 0 disables
+
+
+def _add_dataclass_args(parser: ArgumentParser, cls: type, group: str) -> None:
+    g = parser.add_argument_group(group)
+    for field in dataclasses.fields(cls):
+        name = f"--{field.name}"
+        if field.type in ("bool", bool) or isinstance(field.default, bool):
+            g.add_argument(name, action="store_true", default=field.default)
+        elif isinstance(field.default, (tuple, list)):
+            g.add_argument(
+                name,
+                type=lambda s: tuple(int(x) for x in s.split(",")),
+                default=field.default,
+            )
+        elif field.default is None:
+            g.add_argument(name, type=str, default=None)
+        else:
+            g.add_argument(name, type=type(field.default), default=field.default)
+
+
+def add_model_args(parser: ArgumentParser) -> ArgumentParser:
+    _add_dataclass_args(parser, ModelConfig, "DiffusionModel")
+    return parser
+
+
+def add_data_args(parser: ArgumentParser) -> ArgumentParser:
+    _add_dataclass_args(parser, DataConfig, "Data")
+    return parser
+
+
+def add_train_args(parser: ArgumentParser) -> ArgumentParser:
+    _add_dataclass_args(parser, TrainConfig, "Trainer")
+    return parser
+
+
+def _from_namespace(cls: type, args: Union[Namespace, Mapping[str, Any]]) -> Any:
+    if isinstance(args, Namespace):
+        args = vars(args)
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in args.items() if k in names and v is not None})
+
+
+def model_config_from_args(args: Union[Namespace, Mapping]) -> ModelConfig:
+    return _from_namespace(ModelConfig, args)
+
+
+def data_config_from_args(args: Union[Namespace, Mapping]) -> DataConfig:
+    return _from_namespace(DataConfig, args)
+
+
+def train_config_from_args(args: Union[Namespace, Mapping]) -> TrainConfig:
+    return _from_namespace(TrainConfig, args)
+
+
+def config_to_json(cfg: Any) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def model_config_from_json(text: str) -> ModelConfig:
+    return ModelConfig(**json.loads(text))

@@ -1,0 +1,104 @@
+"""Static-shape bucketed collation.
+
+The complex-axis layout is the reference's (`/root/reference/ProteinReDiff/
+data.py:80-142`): one concatenated axis of length N per sample, atoms in
+slots ``[0, num_atoms)`` and residues in ``[num_atoms,
+num_atoms+num_residues)``; ``residue_type`` is shifted +1 before padding so
+class 0 means pad/mask/atom.
+
+TPU-first change: instead of padding to the per-batch max (which gives XLA a
+new shape almost every step and forces recompilation), N is drawn from a
+fixed bucket ladder, so the denoiser compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; raises if the complex exceeds the ladder."""
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(
+        f"Complex with {n} nodes exceeds the largest bucket {max(buckets)}; "
+        "extend DataConfig.buckets."
+    )
+
+
+def _pad_after(x: np.ndarray, axis: int, before: int, after: int) -> np.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (before, after)
+    return np.pad(x, pad)
+
+
+def collate_fn(
+    data_list: Sequence[Mapping[str, Any]],
+    buckets: Optional[Sequence[int]] = None,
+) -> Dict[str, Any]:
+    """Collate featurized complexes into one padded batch.
+
+    Key-prefix dispatch matches the reference collate (`data.py:80-142`):
+    ``atom_*`` pads the atom axis to N; ``bond_*`` pads the two trailing
+    complex axes; ``residue_*`` offsets by num_atoms then pads to N
+    (+1 shift for ``residue_type``); ``*_mol`` stays a Python list; anything
+    else is stacked.
+    """
+    n_max = max(d["num_atoms"] + d["num_residues"] for d in data_list)
+    N = pick_bucket(n_max, buckets) if buckets is not None else n_max
+    batch: Dict[str, Any] = {}
+    for k, v in data_list[0].items():
+        if k.startswith("atom_"):
+            batch[k] = np.stack(
+                [
+                    _pad_after(np.asarray(d[k]), 0, 0, N - d["num_atoms"])
+                    for d in data_list
+                ]
+            )
+        elif k.startswith("bond_"):
+            arrs = []
+            for d in data_list:
+                a = np.asarray(d[k])
+                a = _pad_after(a, 0, 0, N - d["num_atoms"])
+                a = _pad_after(a, 1, 0, N - d["num_atoms"])
+                arrs.append(a)
+            batch[k] = np.stack(arrs)
+        elif k.startswith("residue_"):
+            arrs = []
+            for d in data_list:
+                a = np.asarray(d[k])
+                if k.endswith("_type"):
+                    a = a + 1  # 0 becomes the pad/mask class
+                a = _pad_after(
+                    a, 0, d["num_atoms"], N - d["num_atoms"] - d["num_residues"]
+                )
+                arrs.append(a)
+            batch[k] = np.stack(arrs)
+        elif k.endswith("_mol"):
+            batch[k] = [d[k] for d in data_list]
+        else:
+            batch[k] = _default_collate([d[k] for d in data_list])
+    return batch
+
+
+def _default_collate(values: Sequence[Any]) -> Any:
+    first = values[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(values)
+    if isinstance(first, (int, np.integer)):
+        return np.asarray(values, dtype=np.int64)
+    if isinstance(first, (float, np.floating)):
+        return np.asarray(values, dtype=np.float32)
+    return list(values)
+
+
+def numeric_batch(batch: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Drop non-array fields (mols, ids) so the rest can cross to device."""
+    return {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, np.ndarray)
+    }

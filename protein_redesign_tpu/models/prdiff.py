@@ -1,0 +1,456 @@
+"""ProteinReDiff model: embeddings, equivariant readout, diffusion process.
+
+TPU-native re-design of the reference LightningModule
+(`/root/reference/ProteinReDiff/model.py:55-549`). The network is one flax
+module (``ProteinReDiffNet``); the diffusion process lives in pure jitted
+functions on a frozen ``ProteinReDiffModel`` facade:
+
+- ``prepare_batch``     <- `model.py:424-468` (masking policy inside jit)
+- ``q``                 <- `model.py:471-488`
+- ``diffusion_loss``    <- `model.py:490-526` (exact quirky reductions)
+- ``sample``            <- `model.py:377-422`, as ONE `lax.scan` over
+                           timesteps inside a single jit (the reference
+                           re-launches a full Python-loop forward per step)
+
+Reference numerics reproduced exactly (SURVEY.md §7.3): the ±1 one-hot
+convention, scalar-broadcast KL/CE loss terms, ``(seq_pred+1)/2`` fed to CE
+as logits, the softmax sequence "reverse step", and known residues anchored
+only at init.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..ops.geometry import (
+    angstrom_to_nanometre,
+    nanometre_to_angstrom,
+    remove_mean,
+)
+from .denoiser import Denoiser
+from .diffusion import DiffusionSchedule
+from .layers import (
+    AtomEmbedding,
+    BondEmbedding,
+    Embed,
+    LayerNorm,
+    PRLinear,
+    RadialBasisProjection,
+    SinusoidalProjection,
+    TransitionMLP,
+)
+from .masking import random_mask, spatial_mask
+
+Batch = Dict[str, jnp.ndarray]
+NUM_CLASSES = 21  # 20 residue types + pad/mask class 0
+
+
+class NormLinear(nn.Module):
+    """Non-affine LN -> bias-free 'normal'-init Linear [-> ReLU] — the
+    embedding-head pattern of reference `model.py:85-107`."""
+
+    features: int
+    relu: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = LayerNorm(affine=False, dtype=self.dtype)(x)
+        x = PRLinear(
+            self.features, use_bias=False, init="normal",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="dense",
+        )(x)
+        return jax.nn.relu(x) if self.relu else x
+
+
+class ProjLinear(nn.Module):
+    """Fixed projection (RBF or sinusoidal) -> bias-free 'normal' Linear —
+    the embed_dist / embed_beta pattern of reference `model.py:85-88,104-107`."""
+
+    features: int
+    proj: str  # "rbf" | "sinusoidal"
+    proj_dim: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.proj == "rbf":
+            x = RadialBasisProjection(self.proj_dim, dtype=self.dtype)(x)
+        else:
+            x = SinusoidalProjection(self.proj_dim, dtype=self.dtype)(x)
+        return PRLinear(
+            self.features, use_bias=False, init="normal",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="dense",
+        )(x)
+
+
+class ProteinReDiffNet(nn.Module):
+    """Embeddings + Denoiser + equivariant readout + sequence head
+    (the reference ``forward``/``sample_step``, `model.py:254-375` —
+    which are line-for-line duplicates; here there is one function)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: Mapping[str, jnp.ndarray],
+        z: jnp.ndarray,       # [B, N, 3] noisy coords (nm), f32
+        seq_t: jnp.ndarray,   # [B, N, 21] noisy one-hot
+        mask: jnp.ndarray,    # [B, N] residue+atom mask
+        t: jnp.ndarray,       # [B] int timestep
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        param_dtype = jnp.dtype(cfg.param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+
+        atom_feats = batch["atom_feats"]
+        atom_mask = batch["atom_mask"]
+        bond_feats = batch["bond_feats"]
+        bond_mask = batch["bond_mask"]
+        bond_distance = batch["bond_distance"]
+        residue_mask = batch["residue_mask"]
+        residue_esm = batch["residue_esm"]
+        residue_chain_index = batch["residue_chain_index"]
+        residue_index = batch["residue_index"]
+
+        atom_mask_2d = atom_mask[..., :, None] * atom_mask[..., None, :]
+        residue_mask_2d = residue_mask[..., :, None] * residue_mask[..., None, :]
+        relpos = residue_index[..., :, None] - residue_index[..., None, :]
+        chain_mask = (
+            residue_chain_index[..., :, None]
+            == residue_chain_index[..., None, :]
+        ).astype(dtype)
+        mask_2d = mask[..., :, None] * mask[..., None, :]
+
+        # Geometry in f32 regardless of compute dtype.
+        zf = z.astype(jnp.float32)
+        zi_zj = zf[..., :, None, :] - zf[..., None, :, :]
+        noise_dist = jnp.linalg.norm(zi_zj + 1e-20, axis=-1)
+        scaled_t = (t / cfg.num_steps).astype(jnp.float32)
+
+        # --- single representation (`model.py:283-287`)
+        single = atom_mask[..., None].astype(dtype) * AtomEmbedding(
+            cfg.single_dim, name="embed_atom_feats", **kw
+        )(atom_feats)
+        single += residue_mask[..., None].astype(dtype) * (
+            NormLinear(cfg.single_dim, relu=True,
+                       name="embed_residue_type", **kw)(seq_t.astype(dtype))
+            + NormLinear(cfg.single_dim,
+                         name="embed_residue_esm", **kw)(
+                residue_esm.astype(dtype)
+            )
+        )
+
+        # --- pair representation (`model.py:288-301`)
+        pair = atom_mask_2d[..., None].astype(dtype) * (
+            bond_mask[..., None].astype(dtype)
+            * BondEmbedding(cfg.pair_dim, name="embed_bond_feats", **kw)(
+                bond_feats
+            )
+            + Embed(
+                cfg.max_bond_distance + 1, cfg.pair_dim,
+                name="embed_bond_distance", **kw,
+            )(jnp.clip(bond_distance, max=cfg.max_bond_distance))
+        )
+        pair += residue_mask_2d[..., None].astype(dtype) * (
+            chain_mask[..., None]
+            * Embed(
+                cfg.max_relpos * 2 + 1, cfg.pair_dim, name="embed_relpos", **kw
+            )(cfg.max_relpos + jnp.clip(relpos, -cfg.max_relpos, cfg.max_relpos))
+        )
+        pair += mask_2d[..., None].astype(dtype) * (
+            ProjLinear(cfg.pair_dim, "rbf", cfg.dist_dim,
+                       name="embed_dist", **kw)(noise_dist.astype(dtype))
+            + ProjLinear(cfg.pair_dim, "sinusoidal", cfg.time_dim,
+                         name="embed_beta", **kw)(scaled_t[:, None, None])
+        )
+
+        # --- trunk
+        single, pair = Denoiser(cfg, name="denoiser")(single, pair, mask)
+
+        # --- equivariant vector readout (`model.py:304-313`)
+        w = TransitionMLP(
+            cfg.pair_dim, 1, name="weight_radial", out_bias=False, **kw
+        )(pair).astype(jnp.float32)
+        r = zi_zj * jax.lax.rsqrt(
+            jnp.sum(jnp.square(zi_zj), axis=-1, keepdims=True) + 1e-4
+        )
+        noise_pred = jnp.sum(
+            mask_2d[..., None].astype(jnp.float32) * w * r, axis=-2
+        )
+        noise_pred = remove_mean(noise_pred, mask)
+
+        # --- sequence head (`model.py:314`)
+        seq_pred = TransitionMLP(
+            cfg.single_dim, NUM_CLASSES, name="seq_mlp", out_bias=False, **kw
+        )(single).astype(jnp.float32)
+        return noise_pred, seq_pred
+
+
+@dataclasses.dataclass(frozen=True)
+class ProteinReDiffModel:
+    """Facade bundling config, net, and schedule into pure functions."""
+
+    cfg: ModelConfig
+
+    @property
+    def net(self) -> ProteinReDiffNet:
+        return ProteinReDiffNet(self.cfg)
+
+    @property
+    def schedule(self) -> DiffusionSchedule:
+        return DiffusionSchedule.create(
+            self.cfg.num_steps, self.cfg.diffusion_schedule
+        )
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key: jax.Array, batch: Batch) -> Any:
+        B, N = batch["residue_mask"].shape
+        z = jnp.zeros((B, N, 3), jnp.float32)
+        seq = jnp.zeros((B, N, NUM_CLASSES), jnp.float32)
+        mask = batch["atom_mask"] + batch["residue_mask"]
+        t = jnp.zeros((B,), jnp.int32)
+        return self.net.init(key, batch, z, seq, mask, t)["params"]
+
+    def apply(
+        self, params: Any, batch: Batch, z, seq_t, mask, t
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.net.apply({"params": params}, batch, z, seq_t, mask, t)
+
+    # -------------------------------------------------------- batch plumbing
+    def prepare_batch(
+        self,
+        batch: Batch,
+        key: Optional[jax.Array] = None,
+        training: Optional[bool] = None,
+        mask_prob: Optional[float] = None,
+    ) -> Batch:
+        """Reference `model.py:424-468`: ±1 one-hot, merged nm coords, and
+        the stochastic masking-policy draw (training) or deterministic
+        fraction (inference)."""
+        cfg = self.cfg
+        training = cfg.training_mode if training is None else training
+        mask_prob = cfg.mask_prob if mask_prob is None else mask_prob
+        batch = dict(batch)
+
+        atom_pos = batch["atom_pos"]
+        atom_mask = batch["atom_mask"]
+        residue_ca_pos = batch["residue_atom_pos"][:, :, 1]
+        residue_mask = batch["residue_mask"]
+        residue_type = batch["residue_type"]
+
+        one_hot = (
+            jax.nn.one_hot(residue_type, NUM_CLASSES, dtype=jnp.float32) * 2.0
+            - 1.0
+        )
+        pos = (
+            atom_mask[..., None] * atom_pos
+            + residue_mask[..., None] * residue_ca_pos
+        )
+        x = angstrom_to_nanometre(pos)
+        mask = atom_mask + residue_mask
+
+        if training:
+            assert key is not None
+            k_rt, k_p, k_rand, k_spatial = jax.random.split(key, 4)
+            rt = jax.random.uniform(k_rt, ())
+            p = jax.random.uniform(k_p, (), minval=0.1, maxval=mask_prob)
+            # The reference's RandomMaskingModule further multiplies by
+            # U(0,1) when stochastic=True (`mask_utils.py:79-80`).
+            p_rand = jax.random.uniform(k_rand, ()) * p
+            rand_extra, rand_inv = random_mask(
+                jax.random.fold_in(k_rand, 1), residue_mask, p_rand
+            )
+            spat_extra, spat_inv = spatial_mask(
+                k_spatial, residue_ca_pos, residue_mask, atom_pos, atom_mask, p
+            )
+            no_extra, no_inv = residue_mask, jnp.zeros_like(residue_mask)
+            # rt < 0.3: random; 0.3 <= rt < 0.5: spatial; else: none
+            use_rand = rt < 0.3
+            use_spatial = (rt >= 0.3) & (rt < 0.5)
+            extra_mask = jnp.where(
+                use_rand, rand_extra, jnp.where(use_spatial, spat_extra, no_extra)
+            )
+            inv_mask = jnp.where(
+                use_rand, rand_inv, jnp.where(use_spatial, spat_inv, no_inv)
+            )
+        else:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            extra_mask, inv_mask = random_mask(
+                key, residue_mask, jnp.asarray(mask_prob, jnp.float32)
+            )
+
+        batch["residue_esm"] = batch["residue_esm"] * extra_mask[..., None]
+        batch["residue_type_masked"] = (
+            residue_type * extra_mask.astype(residue_type.dtype)
+        )
+        batch["residue_one_hot"] = one_hot * extra_mask[..., None]
+        batch["residue_extra_mask"] = extra_mask
+        batch["residue_inv_extra_mask"] = inv_mask
+        batch["x"] = x
+        batch["residue_and_atom_mask"] = mask
+        return batch
+
+    # --------------------------------------------------------------- forward
+    def q(
+        self,
+        sched: DiffusionSchedule,
+        x: jnp.ndarray,
+        seq: jnp.ndarray,
+        t: jnp.ndarray,
+        noise_z: jnp.ndarray,
+        noise_seq: jnp.ndarray,
+        batch: Batch,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Forward noising with known-residue clamping (`model.py:471-488`)."""
+        extra = batch["residue_extra_mask"][..., None]
+        inv = batch["residue_inv_extra_mask"][..., None]
+        sac = sched.sqrt_alphas_cumprod[t][:, None, None]
+        s1mac = sched.sqrt_one_minus_alphas_cumprod[t][:, None, None]
+        z_t = sac * x + s1mac * noise_z
+        seq_t = sac * seq + s1mac * noise_seq
+        seq_t = extra * seq + inv * seq_t
+        t1 = jnp.clip(t - 1, min=0)
+        sac1 = sched.sqrt_alphas_cumprod[t1][:, None, None]
+        s1mac1 = sched.sqrt_one_minus_alphas_cumprod[t1][:, None, None]
+        seq_t1 = sac1 * seq + s1mac1 * noise_seq
+        return z_t, seq_t, seq_t1, t1
+
+    def diffusion_loss(
+        self,
+        params: Any,
+        batch: Batch,
+        x: jnp.ndarray,
+        mask: jnp.ndarray,
+        t: jnp.ndarray,
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        """Per-sample loss vector [B] with the reference's exact reductions
+        (`model.py:490-526`): masked coordinate MSE per sample, plus
+        KL and CE terms summed to scalars and broadcast onto every sample."""
+        sched = self.schedule
+        seq = batch["residue_one_hot"]
+        residue_mask = batch["residue_mask"]
+        kz, ks = jax.random.split(key)
+        noise_z = remove_mean(
+            jax.random.normal(kz, x.shape, x.dtype), mask
+        )
+        noise_seq = remove_mean(
+            jax.random.normal(ks, seq.shape, seq.dtype), residue_mask
+        )
+        z_t, seq_t, seq_t1, t1 = self.q(sched, x, seq, t, noise_z, noise_seq, batch)
+        noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+        sac1 = sched.sqrt_alphas_cumprod[t1][:, None, None]
+        s1mac1 = sched.sqrt_one_minus_alphas_cumprod[t1][:, None, None]
+        seq_pred_t1 = sac1 * seq_pred + s1mac1 * noise_seq
+
+        # (a) coordinate MSE, per sample
+        diff_loss = jnp.sum(
+            mask[..., None] * jnp.square(noise_pred - noise_z), axis=(-1, -2)
+        )
+        # (b) KL(log_softmax(pred_t1)*m || softmax(seq_t1)*m).sum() — scalar
+        rm = residue_mask[..., None]
+        log_p = jax.nn.log_softmax(seq_pred_t1, axis=-1) * rm
+        q_tgt = jax.nn.softmax(seq_t1, axis=-1) * rm
+        # torch F.kl_div(input, target) = target*(log(target) - input),
+        # with 0*log(0) := 0.
+        kl = jnp.where(
+            q_tgt > 0, q_tgt * (jnp.log(jnp.where(q_tgt > 0, q_tgt, 1.0)) - log_p),
+            -q_tgt * log_p,
+        )
+        diff_loss = diff_loss + jnp.sum(kl)
+        # (c) CE((seq_pred+1)/2 as logits, labels, ignore_index=0)*mask — scalar
+        logits = (seq_pred + 1.0) / 2.0
+        labels = batch["residue_type"]
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            log_probs, labels[..., None], axis=-1
+        )[..., 0]
+        nll = jnp.where(labels == 0, 0.0, nll) * mask
+        diff_loss = diff_loss + jnp.sum(nll)
+        return diff_loss
+
+    def loss(
+        self, params: Any, batch: Batch, key: jax.Array,
+        training: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Scalar training/validation loss (`model.py:528-549`)."""
+        k_prep, k_t, k_loss = jax.random.split(key, 3)
+        batch = self.prepare_batch(batch, k_prep, training=training)
+        x = batch["x"]
+        mask = batch["residue_and_atom_mask"]
+        B = x.shape[0]
+        num_nodes = jnp.sum(mask > 0.5, axis=-1)
+        t = jax.random.randint(k_t, (B,), 0, self.cfg.num_steps)
+        diff_loss = self.diffusion_loss(params, batch, x, mask, t, k_loss)
+        loss = jnp.mean(diff_loss / num_nodes)
+        return loss, {"loss": loss}
+
+    # -------------------------------------------------------------- sampling
+    def sample(
+        self,
+        params: Any,
+        batch: Batch,
+        key: jax.Array,
+        mask_prob: Optional[float] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Ancestral sampler (`model.py:377-422`) as one lax.scan.
+
+        Returns (positions [B,N,3] in Å, residue-masked seq logits
+        [B,N,21]) — the reference ``predict_step`` contract.
+        """
+        cfg = self.cfg
+        sched = self.schedule
+        k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
+        batch = self.prepare_batch(
+            batch, k_prep, training=False, mask_prob=mask_prob
+        )
+        x = batch["x"]
+        mask = batch["residue_and_atom_mask"]
+        residue_mask = batch["residue_mask"]
+        seq = batch["residue_one_hot"]
+        extra = batch["residue_extra_mask"][..., None]
+        inv = batch["residue_inv_extra_mask"][..., None]
+        B = x.shape[0]
+
+        z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
+        s0 = remove_mean(
+            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+        )
+        s0 = extra * seq + inv * s0
+
+        time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
+
+        def step(carry, inp):
+            z_t, seq_t, _ = carry
+            t_scalar, k = inp
+            t = jnp.broadcast_to(t_scalar, (B,))
+            w_noise = (1.0 - sched.alphas[t]) / sched.sqrt_one_minus_alphas_cumprod[t]
+            noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+            mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
+                z_t - w_noise[:, None, None] * noise_pred
+            )
+            seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
+            noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
+            std = sched.sqrt_betas[t][:, None, None]
+            z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
+            return (z_next, seq_next, seq_pred), None
+
+        keys = jax.random.split(k_scan, cfg.num_steps)
+        seq_pred0 = jnp.zeros_like(s0)
+        (z_final, _, seq_pred_last), _ = jax.lax.scan(
+            step, (z0, s0, seq_pred0), (time_steps, keys)
+        )
+        pos = nanometre_to_angstrom(z_final)
+        return pos, residue_mask[..., None] * seq_pred_last
