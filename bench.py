@@ -1,0 +1,113 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.md): end-to-end 1000-step diffusion sample
+wall-clock for a 110-residue protein + drug-like ligand (~144 nodes,
+bucket 192) at paper scale (single_dim 512, pair_dim 64, num_blocks 4 —
+reference README.md:147-160), on one TPU chip.
+
+North star (BASELINE.json): < 60 s on a v5e-8. vs_baseline = 60 / measured
+(>1 means faster than the target). The reference publishes no numbers of
+its own (SURVEY.md §6), so this harness *establishes* the baseline.
+
+Timing notes: the per-call host<->TPU dispatch latency over the axon tunnel
+is ~25 ms, so all measurements time a single jitted program (the scan-based
+sampler / a scanned forward loop) and force materialization with a host
+fetch before stopping the clock.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra measurements go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _make_batch
+from protein_redesign_tpu.config import ModelConfig
+from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+NUM_STEPS = 1000
+NORTH_STAR_S = 60.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timed_fetch(fn, *args):
+    """Run fn and stop the clock only after a host fetch of the output."""
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].sum())
+    return time.perf_counter() - t0, out
+
+
+def bench_forward(model, params, bucket, n_res, iters=50):
+    """Denoiser forward steps/sec/chip via an iters-long scanned loop
+    (one dispatch; each step consumes the previous step's output)."""
+    b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
+                       esm_dim=model.cfg.esm_dim)
+    b = {k: jnp.asarray(v) for k, v in b_np.items()}
+    B, N = b["residue_mask"].shape
+    mask = b["atom_mask"] + b["residue_mask"]
+    seq = jnp.zeros((B, N, 21))
+    t = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def loop(params, z0):
+        def body(z, _):
+            noise_pred, _seq = model.apply(params, b, z, seq, mask, t)
+            return z + 0.01 * noise_pred, None
+        z, _ = jax.lax.scan(body, z0, None, length=iters)
+        return z
+
+    z0 = jnp.asarray(np.random.RandomState(0).randn(B, N, 3), jnp.float32)
+    timed_fetch(loop, params, z0)  # compile
+    dt, _ = timed_fetch(loop, params, z0)
+    dt2, _ = timed_fetch(loop, params, z0)
+    per_step = min(dt, dt2) / iters
+    log(f"denoiser fwd N={bucket}: {per_step*1e3:.2f} ms/step "
+        f"({1/per_step:.1f} steps/s/chip)")
+    return per_step
+
+
+def main():
+    cfg = ModelConfig(
+        single_dim=512, pair_dim=64, num_blocks=4, num_steps=NUM_STEPS
+    )
+    model = ProteinReDiffModel(cfg)
+
+    batch_np = _make_batch(n_atoms=34, n_res=110, bucket=192,
+                           esm_dim=cfg.esm_dim)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key, batch)
+
+    for bucket, n_res in ((128, 96), (256, 200), (384, 320)):
+        bench_forward(model, params, bucket, n_res)
+
+    # --- headline: full 1000-step sample wall-clock (one jitted scan)
+    sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
+    dt, out = timed_fetch(sample, params, batch, key)
+    log(f"sample (compile+run): {dt:.1f} s")
+    assert np.isfinite(np.asarray(out[0])).all()
+    dt1, _ = timed_fetch(sample, params, batch, jax.random.PRNGKey(1))
+    dt2, _ = timed_fetch(sample, params, batch, jax.random.PRNGKey(2))
+    wall = min(dt1, dt2)
+    log(f"sample {NUM_STEPS} steps steady-state: {wall:.2f} s "
+        f"({wall / NUM_STEPS * 1e3:.2f} ms/step)")
+
+    print(json.dumps({
+        "metric": "sample_1000step_wallclock_192nodes",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(NORTH_STAR_S / wall, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

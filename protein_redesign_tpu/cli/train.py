@@ -1,0 +1,193 @@
+"""Training CLI (reference `train.py` / `train_from_ckpt.py`).
+
+Flag names port 1:1 from the reference; the Lightning trainer is replaced
+by an explicit loop around one jitted, mesh-sharded train step:
+
+    python -m protein_redesign_tpu.cli.train \\
+        --save_dir runs/exp --training_mode \\
+        --num_blocks 4 --num_steps 2000 --mask_prob 0.15 \\
+        --batch_size 2 --accumulate_grad_batches 10
+
+Resume (the reference's `train_from_ckpt.py`):
+    ... --trained_ckpt runs/exp/checkpoints
+"""
+
+from __future__ import annotations
+
+import shutil
+from argparse import ArgumentParser
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    from ..config import (
+        add_data_args,
+        add_model_args,
+        add_train_args,
+        data_config_from_args,
+        model_config_from_args,
+        train_config_from_args,
+    )
+
+    add_model_args(parser)
+    add_data_args(parser)
+    add_train_args(parser)
+    parser.add_argument("--trained_ckpt", type=str, default=None,
+                        help="checkpoint dir to resume from")
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--fresh", action="store_true",
+                        help="delete save_dir first (reference train.py:28-30)")
+    args = parser.parse_args(argv)
+
+    cfg = model_config_from_args(args).replace(training_mode=True)
+    data_cfg = data_config_from_args(args)
+    train_cfg = train_config_from_args(args)
+
+    # Multi-host TPU slices.
+    if jax.process_count() > 1:  # pragma: no cover
+        jax.distributed.initialize()
+
+    from ..data.dataset import PDBDataset, load_split_ids
+    from ..data.pipeline import batches, prefetch
+    from ..models.prdiff import ProteinReDiffModel
+    from ..parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        param_sharding,
+        replicated,
+    )
+    from ..parallel.train_step import (
+        make_eval_step,
+        make_train_state,
+        make_train_step,
+    )
+    from ..utils.checkpoint import load_checkpoint, make_manager, save_checkpoint
+    from ..utils.logging import MetricsLogger, maybe_profile
+
+    save_dir = Path(train_cfg.save_dir)
+    if args.fresh and save_dir.exists():
+        shutil.rmtree(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    logger = MetricsLogger(save_dir)
+
+    devices = jax.devices()
+    if train_cfg.num_devices > 0:
+        devices = devices[: train_cfg.num_devices]
+    mesh = make_mesh(devices, train_cfg.mesh_shape)
+    print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
+
+    model = ProteinReDiffModel(cfg)
+    cache_dir = data_cfg.resolved_cache_dir()
+    train_ids = load_split_ids(data_cfg.data_dir, "train")
+    val_ids = load_split_ids(data_cfg.data_dir, "val")
+    train_ds = PDBDataset(cache_dir, train_ids)
+    val_ds = PDBDataset(cache_dir, val_ids)
+    print(f"train: {len(train_ds)} complexes, val: {len(val_ds)}")
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    accum = train_cfg.accumulate_grad_batches
+
+    # Bootstrap state from the first batch's shapes.
+    first = next(batches(
+        train_ds, data_cfg.batch_size, data_cfg.buckets, shuffle=True,
+        seed=train_cfg.seed, accum=accum,
+    ))
+    sample = {k: v[0] if accum > 1 else v for k, v in first.items()}
+    if args.trained_ckpt:
+        state, cfg_loaded = load_checkpoint(args.trained_ckpt)
+        cfg = cfg_loaded.replace(training_mode=True)
+        model = ProteinReDiffModel(cfg)
+        print(f"resumed from {args.trained_ckpt} at step {int(state.step)}")
+    else:
+        state = make_train_state(model, train_cfg, key, sample)
+
+    state_shardings = jax.tree_util.tree_map(
+        lambda _: replicated(mesh), state
+    ).replace(
+        params=param_sharding(mesh, state.params),
+        ema_params=param_sharding(mesh, state.ema_params),
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def batch_shardings(batch):
+        spec = P(None, "data") if accum > 1 else P("data")
+        return {k: NamedSharding(mesh, spec) for k in batch}
+
+    state = jax.device_put(state, state_shardings)
+    bsh = batch_shardings(first)
+    train_step = jax.jit(
+        make_train_step(model, train_cfg),
+        in_shardings=(state_shardings, bsh, replicated(mesh)),
+        out_shardings=(state_shardings, replicated(mesh)),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(
+        make_eval_step(model),
+        in_shardings=(state_shardings,
+                      {k: NamedSharding(mesh, P("data")) for k in sample},
+                      replicated(mesh)),
+    )
+
+    manager = make_manager(save_dir / "checkpoints", train_cfg.checkpoint_top_k)
+
+    def run_validation(step_key):
+        losses = []
+        for i, vb in enumerate(batches(
+            val_ds, data_cfg.batch_size, data_cfg.buckets,
+        )):
+            vb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                  for k, v in vb.items()}
+            losses.append(float(eval_step(
+                state, vb, jax.random.fold_in(step_key, i)
+            )))
+        return float(np.mean(losses)) if losses else float("inf")
+
+    step = int(state.step)
+    epoch = 0
+    stop = False
+    with maybe_profile(save_dir, args.profile):
+        while not stop:
+            it = batches(
+                train_ds, data_cfg.batch_size, data_cfg.buckets,
+                shuffle=True, seed=train_cfg.seed, epoch=epoch, accum=accum,
+            )
+            it = prefetch(
+                it, size=2,
+                transform=lambda b: {
+                    k: jax.device_put(v, bsh[k]) for k, v in b.items()
+                },
+            )
+            for batch in it:
+                step_key = jax.random.fold_in(key, step)
+                state, metrics = train_step(state, batch, step_key)
+                step += 1
+                if step % train_cfg.log_every_steps == 0:
+                    logger.log(step, {
+                        "train_loss": metrics["loss"],
+                        "grad_norm": metrics["grad_norm"],
+                        "epoch": epoch,
+                    })
+                    print(f"step {step}: loss={float(metrics['loss']):.4f}")
+                if step % train_cfg.val_every_steps == 0:
+                    val_loss = run_validation(jax.random.fold_in(key, -step))
+                    logger.log(step, {"val_loss": val_loss})
+                    print(f"step {step}: val_loss={val_loss:.4f}")
+                    save_checkpoint(manager, state, cfg, val_loss)
+                if 0 < train_cfg.max_steps <= step:
+                    stop = True
+                    break
+            epoch += 1
+            if 0 < train_cfg.max_epochs <= epoch:
+                stop = True
+    val_loss = run_validation(jax.random.fold_in(key, -step - 1))
+    save_checkpoint(manager, state, cfg, val_loss)
+    manager.wait_until_finished()
+    print(f"done at step {step}; final val_loss={val_loss:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Host-side input pipeline with background prefetch.
+
+The reference relies on torch DataLoader worker processes
+(`data.py:232-241`). Here: a thread prefetches, collates into bucketed
+static shapes, and (optionally) device_puts with the data-parallel
+sharding so the next batch is on-device before the step needs it —
+hiding host latency behind TPU compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from .collate import collate_fn, numeric_batch
+
+
+def batches(
+    dataset: Any,
+    batch_size: int,
+    buckets: Sequence[int],
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    epoch: int = 0,
+    accum: int = 1,
+    drop_last: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Collated numeric batches; with accum > 1 the leading axis becomes
+    [accum, batch, ...] for in-step gradient accumulation."""
+    from .dataset import iterate_batches
+
+    group = batch_size * accum
+    for samples in iterate_batches(
+        dataset, group, shuffle=shuffle, seed=seed, epoch=epoch,
+        drop_last=drop_last,
+    ):
+        if len(samples) < group:
+            if drop_last:
+                continue
+            # Pad the final group by repeating samples (keeps shapes static).
+            samples = list(samples) + [
+                samples[i % len(samples)] for i in range(group - len(samples))
+            ]
+        batch = numeric_batch(collate_fn(samples, buckets=buckets))
+        if accum > 1:
+            batch = {
+                k: v.reshape((accum, batch_size) + v.shape[1:])
+                for k, v in batch.items()
+            }
+        yield batch
+
+
+def prefetch(
+    it: Iterator[Any],
+    size: int = 2,
+    transform: Optional[Callable[[Any], Any]] = None,
+) -> Iterator[Any]:
+    """Background-thread prefetch (optionally applying ``transform``, e.g.
+    a device_put with sharding)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(transform(item) if transform else item)
+        except Exception as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -1,0 +1,111 @@
+"""Orbax checkpointing with top-k-by-val-loss retention.
+
+Replaces Lightning ModelCheckpoint + the EMA state hooks (reference
+`train.py:40-45`, `model.py:197-201`): every checkpoint carries params,
+EMA params, optimizer state, step counter, and the model config JSON, so
+``load`` can rebuild the model with per-load overrides (the reference's
+``load_from_checkpoint(..., num_steps=...)`` pattern, `generate.py:103-105`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import ModelConfig
+from ..parallel.train_step import TrainState
+
+
+def make_manager(
+    directory: Union[str, Path],
+    top_k: int = 3,
+) -> ocp.CheckpointManager:
+    """CheckpointManager keeping the top-k lowest val_loss plus the latest
+    (Lightning's save_top_k=3 + save_last, `train.py:40-45`)."""
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=top_k + 1,
+        best_fn=lambda metrics: metrics.get("val_loss", float("inf")),
+        best_mode="min",
+        keep_checkpoints_without_metrics=True,
+        create=True,
+    )
+    return ocp.CheckpointManager(Path(directory).absolute(), options=options)
+
+
+def save_checkpoint(
+    manager: ocp.CheckpointManager,
+    state: TrainState,
+    cfg: ModelConfig,
+    val_loss: Optional[float] = None,
+) -> None:
+    step = int(state.step)
+    metrics = {"val_loss": float(val_loss)} if val_loss is not None else None
+    manager.save(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            config=ocp.args.JsonSave(dataclasses.asdict(cfg)),
+        ),
+        metrics=metrics,
+    )
+
+
+def load_checkpoint(
+    directory: Union[str, Path],
+    step: Optional[int] = None,
+    **config_overrides: Any,
+) -> Tuple[TrainState, ModelConfig]:
+    """Restore (TrainState, ModelConfig); kwargs override config fields
+    (e.g. ``num_steps=1000`` for generation)."""
+    manager = make_manager(directory)
+    if step is None:
+        step = manager.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"No checkpoints under {directory}")
+    restored = manager.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(),
+            config=ocp.args.JsonRestore(),
+        ),
+    )
+    cfg_dict = dict(restored["config"])
+    cfg_dict.update(config_overrides)
+    cfg = ModelConfig(**cfg_dict)
+    raw = restored["state"]
+    state = TrainState(
+        step=raw["step"],
+        params=raw["params"],
+        opt_state=raw["opt_state"],
+        ema_params=raw["ema_params"],
+        ema_updates=raw["ema_updates"],
+    ) if isinstance(raw, dict) else raw
+    return state, cfg
+
+
+def save_params_only(
+    directory: Union[str, Path], params: Any, cfg: ModelConfig
+) -> None:
+    """Standalone params export (for converted reference checkpoints)."""
+    path = Path(directory).absolute()
+    path.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "params", params)
+    ckptr.wait_until_finished()
+    (path / "config.json").write_text(json.dumps(dataclasses.asdict(cfg)))
+
+
+def load_params_only(
+    directory: Union[str, Path], **config_overrides: Any
+) -> Tuple[Any, ModelConfig]:
+    path = Path(directory).absolute()
+    cfg_dict = json.loads((path / "config.json").read_text())
+    cfg_dict.update(config_overrides)
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(path / "params")
+    return params, ModelConfig(**cfg_dict)

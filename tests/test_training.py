@@ -1,0 +1,171 @@
+"""Training-stack tests: sharded train step, EMA, accumulation, checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from __graft_entry__ import _make_batch
+from protein_redesign_tpu.config import ModelConfig, TrainConfig
+from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+from protein_redesign_tpu.parallel.mesh import (
+    make_mesh,
+    param_sharding,
+    replicated,
+)
+from protein_redesign_tpu.parallel.train_step import (
+    make_eval_step,
+    make_train_state,
+    make_train_step,
+)
+
+TINY = ModelConfig(
+    esm_dim=16, time_dim=8, dist_dim=8, single_dim=16, pair_dim=8,
+    head_dim=4, num_heads=2, num_blocks=1, num_steps=4,
+    dtype="float32", remat=False, warmup_steps=10,
+)
+
+
+def tiny_batch(batch=8, accum=1):
+    b_np = _make_batch(n_atoms=4, n_res=8, bucket=16, esm_dim=16,
+                       batch=batch * accum)
+    if accum > 1:
+        return {
+            k: jnp.asarray(v).reshape((accum, batch) + v.shape[1:])
+            for k, v in b_np.items()
+        }
+    return {k: jnp.asarray(v) for k, v in b_np.items()}
+
+
+class TestTrainStep:
+    def test_dp_mesh_step(self):
+        assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+        mesh = make_mesh(jax.devices(), (8, 1))
+        model = ProteinReDiffModel(TINY)
+        train_cfg = TrainConfig()
+        batch = tiny_batch(batch=8)
+        state = make_train_state(
+            model, train_cfg, jax.random.PRNGKey(0), batch
+        )
+        state_sh = jax.tree_util.tree_map(lambda _: replicated(mesh), state)
+        bsh = {k: NamedSharding(mesh, P("data")) for k in batch}
+        step = jax.jit(
+            make_train_step(model, train_cfg),
+            in_shardings=(state_sh, bsh, replicated(mesh)),
+            out_shardings=(state_sh, replicated(mesh)),
+        )
+        state = jax.device_put(state, state_sh)
+        batch = {k: jax.device_put(v, bsh[k]) for k, v in batch.items()}
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+        # Params changed somewhere in the tree.
+        diff = sum(
+            float(jnp.sum(jnp.abs(a - b)))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(state.params),
+                jax.tree_util.tree_leaves(state2.params),
+            )
+        )
+        assert diff > 0
+
+    def test_fsdp_mesh_and_accum(self):
+        mesh = make_mesh(jax.devices(), (4, 2))
+        model = ProteinReDiffModel(TINY)
+        train_cfg = TrainConfig(accumulate_grad_batches=2)
+        batch = tiny_batch(batch=4, accum=2)
+        state = make_train_state(
+            model, train_cfg, jax.random.PRNGKey(0),
+            {k: v[0] for k, v in batch.items()},
+        )
+        psh = param_sharding(mesh, state.params)
+        # At least one large param actually sharded over 'model'.
+        specs = [s.spec for s in jax.tree_util.tree_leaves(psh)]
+        assert any(spec != P() for spec in specs)
+        state_sh = jax.tree_util.tree_map(
+            lambda _: replicated(mesh), state
+        ).replace(params=psh, ema_params=psh)
+        bsh = {k: NamedSharding(mesh, P(None, "data")) for k in batch}
+        step = jax.jit(
+            make_train_step(model, train_cfg),
+            in_shardings=(state_sh, bsh, replicated(mesh)),
+            out_shardings=(state_sh, replicated(mesh)),
+        )
+        state = jax.device_put(state, state_sh)
+        batch = {k: jax.device_put(v, bsh[k]) for k, v in batch.items()}
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.ema_updates) == 1
+
+    def test_eval_step_uses_ema(self):
+        mesh = make_mesh(jax.devices(), (8, 1))
+        model = ProteinReDiffModel(TINY)
+        batch = tiny_batch(batch=8)
+        state = make_train_state(
+            model, TrainConfig(), jax.random.PRNGKey(0), batch
+        )
+        ev = make_eval_step(model)
+        loss = ev(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss))
+
+    def test_loss_decreases_overfit(self):
+        """A few steps on one tiny batch should reduce the loss."""
+        model = ProteinReDiffModel(TINY.replace(learning_rate=1e-3))
+        train_cfg = TrainConfig()
+        batch = tiny_batch(batch=2)
+        state = make_train_state(
+            model, train_cfg, jax.random.PRNGKey(0), batch
+        )
+        step = jax.jit(make_train_step(model, train_cfg))
+        losses = []
+        for i in range(30):
+            state, metrics = step(state, batch, jax.random.PRNGKey(42))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from protein_redesign_tpu.utils.checkpoint import (
+            load_checkpoint,
+            make_manager,
+            save_checkpoint,
+        )
+
+        model = ProteinReDiffModel(TINY)
+        batch = tiny_batch(batch=2)
+        state = make_train_state(
+            model, TrainConfig(), jax.random.PRNGKey(0), batch
+        )
+        state = state.replace(step=jnp.asarray(7, jnp.int32))
+        manager = make_manager(tmp_path / "ckpt", top_k=2)
+        save_checkpoint(manager, state, TINY, val_loss=1.23)
+        manager.wait_until_finished()
+        restored, cfg = load_checkpoint(tmp_path / "ckpt", num_steps=99)
+        assert cfg.num_steps == 99  # per-load override
+        assert cfg.single_dim == TINY.single_dim
+        assert int(restored.step) == 7
+        r0 = jax.tree_util.tree_leaves(restored.params)[0]
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(p0))
+
+    def test_top_k_retention(self, tmp_path):
+        from protein_redesign_tpu.utils.checkpoint import (
+            make_manager,
+            save_checkpoint,
+        )
+
+        model = ProteinReDiffModel(TINY)
+        batch = tiny_batch(batch=2)
+        state = make_train_state(
+            model, TrainConfig(), jax.random.PRNGKey(0), batch
+        )
+        manager = make_manager(tmp_path / "ckpt", top_k=2)
+        for s, vl in ((1, 5.0), (2, 1.0), (3, 4.0), (4, 2.0)):
+            state = state.replace(step=jnp.asarray(s, jnp.int32))
+            save_checkpoint(manager, state, TINY, val_loss=vl)
+        manager.wait_until_finished()
+        steps = set(manager.all_steps())
+        assert 2 in steps  # best val_loss kept
+        assert 4 in steps  # latest kept
