@@ -23,6 +23,8 @@ ATOMIC_NUM.update({symbol.upper(): i + 1 for i, symbol in enumerate(ELEMENTS)})
 
 
 def symbol_of(atomic_num: int) -> str:
+    if atomic_num == 0:
+        return "*"  # wildcard/dummy atom
     return ELEMENTS[atomic_num - 1]
 
 

@@ -34,7 +34,15 @@ class SmilesError(ValueError):
     pass
 
 
+def strip_cxsmiles(line: str) -> str:
+    """Drop a CXSMILES extension block (` |...|`), as found in the
+    reference's `scripts/test_pdb.smiles` coordinate annotations."""
+    idx = line.find(" |")
+    return line[:idx] if idx >= 0 else line
+
+
 def parse_smiles(smiles: str) -> Molecule:
+    smiles = strip_cxsmiles(smiles.strip())
     atoms: List[Atom] = []
     bonds: List[Bond] = []
     # Stack of (atom_index) for branch handling.
@@ -128,11 +136,16 @@ def parse_smiles(smiles: str) -> Molecule:
                 aromatic = True
                 i += 1
             elif c == "*":
-                # Wildcard: treat as carbon-like dummy (callers special-case
-                # the reference's "*" dummy-ligand before reaching here).
-                symbol = "C"
-                aromatic = False
+                # Wildcard dummy atom (atomic number 0), as RDKit parses
+                # the reference's "*" dummy ligand (`generate.py:122-123`):
+                # featurizes to the "misc" atomic-num class.
+                idx = add_atom(Atom(0))
+                if prev is not None:
+                    close_bond(prev, idx, pending_bond, False)
+                prev = idx
+                pending_bond = None
                 i += 1
+                continue
             else:
                 raise SmilesError(f"Unexpected character {c!r} at {i}.")
             atom = Atom(ATOMIC_NUM[symbol], is_aromatic=aromatic)

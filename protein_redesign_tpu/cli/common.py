@@ -1,0 +1,223 @@
+"""Shared inference plumbing for the generation CLIs.
+
+Covers the reference's post-processing helpers (`generate.py:65-91`,
+`scripts/predict_batch_strc_msk_inp.py:96-164`) and replaces
+``trainer.predict`` with a bucket-grouped, jit-cached sampling runner:
+complexes are grouped by padding bucket so each bucket compiles once, and
+batches stream through the single-program `lax.scan` sampler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chem.mol import Molecule, mol_from_file, mol_from_smiles, update_mol_positions
+from ..chem.protein import (
+    RESIDUE_TYPES,
+    Protein,
+    protein_from_pdb_file,
+    protein_from_sequence,
+)
+from ..chem.smiles import strip_cxsmiles
+from ..data.collate import collate_fn, numeric_batch, pick_bucket
+from ..models.prdiff import ProteinReDiffModel
+
+RESIDUE_TYPES_NEW = ["X"] + RESIDUE_TYPES
+
+
+def softmax_np(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def update_pos(
+    protein: Protein, ligand: Molecule, pos: np.ndarray
+) -> Tuple[Protein, Molecule]:
+    """Write sampled complex coordinates back (reference `generate.py:65-74`):
+    ligand atoms occupy the complex-axis prefix, CA-only protein follows."""
+    n_lig = ligand.num_atoms()
+    atom_pos = np.zeros_like(protein.atom_pos)
+    atom_pos[:, 1] = pos[n_lig: n_lig + len(protein.aatype)]
+    atom_mask = np.zeros_like(protein.atom_mask)
+    atom_mask[:, 1] = 1.0
+    protein = dataclasses.replace(
+        protein, atom_pos=atom_pos, atom_mask=atom_mask
+    )
+    ligand = update_mol_positions(ligand, pos[:n_lig])
+    return protein, ligand
+
+
+def predict_seq(proba: np.ndarray) -> str:
+    """Argmax decode + strip terminal X (reference
+    `predict_batch_strc_msk_inp.py:141-146`)."""
+    tokens = np.argmax(softmax_np(np.asarray(proba)), axis=-1)
+    return "".join(RESIDUE_TYPES_NEW[i] for i in tokens).lstrip("X").rstrip("X")
+
+
+def update_seq(protein: Protein, proba: np.ndarray) -> Protein:
+    """Replace the protein's sequence by the argmax decode
+    (reference `generate.py:83-91`), with two robustness fixes over the
+    reference: stripped terminal X also trims the coordinate arrays (the
+    reference leaves aatype shorter than atom_pos and later IndexErrors),
+    and interior X predictions fall back to the input residue instead of
+    raising ValueError."""
+    tokens = np.argmax(softmax_np(np.asarray(proba)), axis=-1)
+    seq = "".join(RESIDUE_TYPES_NEW[i] for i in tokens)
+    stripped = seq.lstrip("X")
+    lo = len(seq) - len(stripped)
+    stripped = stripped.rstrip("X")
+    hi = lo + len(stripped)
+    # The complex-axis prefix (ligand slots, always decoded X) plus any real
+    # terminal X land in [0, lo); map the window onto the residue arrays.
+    n_res = len(protein.aatype)
+    res_lo = max(0, lo - (len(seq) - n_res))  # offset into residue arrays
+    res_hi = res_lo + len(stripped)
+    if res_hi > n_res or len(stripped) == 0:
+        res_lo, res_hi = 0, n_res
+        stripped = seq[len(seq) - n_res:] or "X" * n_res
+    aatype = np.array(
+        [
+            RESIDUE_TYPES.index(s) if s in RESIDUE_TYPES
+            else max(int(protein.aatype[res_lo + i]), 0)
+            for i, s in enumerate(stripped)
+        ],
+        dtype=np.int64,
+    )
+    return dataclasses.replace(
+        protein,
+        chain_index=protein.chain_index[res_lo:res_hi],
+        residue_index=protein.residue_index[res_lo:res_hi],
+        aatype=aatype,
+        atom_pos=protein.atom_pos[res_lo:res_hi],
+        atom_mask=protein.atom_mask[res_lo:res_hi],
+    )
+
+
+def parse_ligand_arg(ligand: str) -> Molecule:
+    """.sdf/.mol2 path, SMILES string, or '*' dummy
+    (reference `generate.py:119-123`)."""
+    if ligand.endswith(".sdf") or ligand.endswith(".mol2"):
+        return mol_from_file(ligand)
+    mol = mol_from_smiles(ligand)
+    return update_mol_positions(mol, np.zeros((mol.num_atoms(), 3)))
+
+
+def parse_ligands(
+    ligand_input: Union[str, Path, list]
+) -> List[Molecule]:
+    """SMILES list or .smiles file, zero-conformer (reference
+    `predict_batch_strc_msk_inp.py:114-128`); CXSMILES blocks stripped."""
+    if isinstance(ligand_input, list):
+        lines = ligand_input
+    else:
+        with open(ligand_input, "r") as f:
+            lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    ligands = []
+    for line in lines:
+        mol = mol_from_smiles(strip_cxsmiles(line))
+        ligands.append(
+            update_mol_positions(mol, np.zeros((mol.num_atoms(), 3)))
+        )
+    return ligands
+
+
+def mask_sequence_by_percent(seq: str, percentage: float = 0.2) -> str:
+    """String-space masking (reference
+    `predict_batch_strc_msk_inp.py:158-164`)."""
+    aa_to_replace = random.sample(
+        range(len(seq)), int(len(seq) * percentage)
+    )
+    return "".join(
+        "X" if idx in aa_to_replace else char for idx, char in enumerate(seq)
+    )
+
+
+def proteins_from_fasta_with_mask(
+    fasta_file: Union[str, Path], mask_percent: float = 0.0
+) -> Tuple[List[Protein], List[str], List[str]]:
+    """(reference `predict_batch_strc_msk_inp.py:96-112`)"""
+    names, proteins, sequences = [], [], []
+    with open(fasta_file, "r") as f:
+        for line in f:
+            if line.startswith(">"):
+                names.append(line.lstrip(">").rstrip("\n").replace(" ", "_"))
+            elif line not in ("\n", "\r\n"):
+                sequence = mask_sequence_by_percent(
+                    line.rstrip("\n"), mask_percent
+                )
+                proteins.append(protein_from_sequence(sequence))
+                sequences.append(sequence)
+    return proteins, names, sequences
+
+
+def load_protein_arg(protein: str) -> Protein:
+    """PDB path or sequence string with X masks (reference
+    `generate.py:113-117`)."""
+    if protein.endswith(".pdb"):
+        return protein_from_pdb_file(protein)
+    return protein_from_sequence(protein)
+
+
+class SamplingRunner:
+    """Bucket-grouped replacement for ``trainer.predict``.
+
+    Complexes are padded to ladder buckets so each bucket shape compiles
+    exactly once; every batch runs the full diffusion scan as ONE XLA
+    program on device.
+    """
+
+    def __init__(
+        self,
+        model: ProteinReDiffModel,
+        params,
+        buckets: Sequence[int] = (64, 128, 192, 256, 384, 512),
+        batch_size: int = 1,
+        mask_prob: Optional[float] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.buckets = tuple(buckets)
+        self.batch_size = batch_size
+        self.mask_prob = mask_prob
+        self._jit = jax.jit(
+            lambda p, b, k: model.sample(p, b, k, mask_prob=self.mask_prob)
+        )
+
+    def run(
+        self, datas: Sequence[Dict], key: jax.Array
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Returns per-input (positions [n,3] Angstrom, seq logits [n,21]),
+        trimmed to each complex's true node count."""
+        order = sorted(
+            range(len(datas)),
+            key=lambda i: pick_bucket(
+                datas[i]["num_atoms"] + datas[i]["num_residues"], self.buckets
+            ),
+        )
+        results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = (
+            [None] * len(datas)
+        )
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start: start + self.batch_size]
+            group = [datas[i] for i in idxs]
+            n_max = max(d["num_atoms"] + d["num_residues"] for d in group)
+            bucket = pick_bucket(n_max, self.buckets)
+            batch = numeric_batch(
+                collate_fn(group, buckets=(bucket,))
+            )
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            pos, seq_logits = self._jit(self.params, batch, sub)
+            pos = np.asarray(pos)
+            seq_logits = np.asarray(seq_logits)
+            for row, i in enumerate(idxs):
+                n = datas[i]["num_atoms"] + datas[i]["num_residues"]
+                results[i] = (pos[row, :n], seq_logits[row, :n])
+        return results  # type: ignore[return-value]

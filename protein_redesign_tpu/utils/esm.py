@@ -52,12 +52,16 @@ def esm_tokens(sequence: str) -> np.ndarray:
 
 
 class ESMEmbedder:
-    """Frozen ESM-2 650M residue embedder with graceful offline fallback."""
+    """Frozen ESM-2 650M residue embedder with graceful offline fallback.
+
+    ``esm_dim`` sizes the zero-fallback (models trained with a different
+    esm_dim — e.g. tiny test configs — still get matching features)."""
 
     def __init__(self, model_name: str = DEFAULT_MODEL_NAME,
-                 device: str = "cpu"):
+                 device: str = "cpu", esm_dim: int = ESM_DIM):
         self.model_name = model_name
         self.device = device
+        self.esm_dim = esm_dim
         self._model = None
         self._tokenizer = None
         self._available: Optional[bool] = None
@@ -94,7 +98,7 @@ class ESMEmbedder:
     def embed_chain(self, sequence: str) -> np.ndarray:
         """[len(sequence), 1280] final-layer representations."""
         if not self.available:
-            return np.zeros((len(sequence), ESM_DIM), dtype=np.float32)
+            return np.zeros((len(sequence), self.esm_dim), dtype=np.float32)
         import torch
 
         inputs = self._tokenizer(sequence, return_tensors="pt")
@@ -124,7 +128,7 @@ class ESMEmbedder:
         except the literal '<mask>' token)."""
         if not self.available:
             n = _masked_len(sequence_with_mask)
-            return np.zeros((n, ESM_DIM), dtype=np.float32)
+            return np.zeros((n, self.esm_dim), dtype=np.float32)
         import torch
 
         # Tokenize manually so '<mask>' stays one token.
