@@ -236,6 +236,17 @@ def protein_to_sequence(prot: Protein) -> str:
     return "".join([RESIDUE_TYPES[aa] for aa in prot.aatype])
 
 
+def protein_to_ca_trace(prot: Protein) -> "Protein":
+    """CA-only copy (the reference's ``protein_to_ca_mol``,
+    `protein.py:198-202`, returns an RDKit mol of the CA trace; here the
+    same information stays a Protein with all non-CA atoms masked)."""
+    ca_atom_mask = np.zeros_like(prot.atom_mask)
+    ca_atom_mask[:, 1] = 1.0
+    return dataclasses.replace(
+        prot, atom_mask=ca_atom_mask * prot.atom_mask
+    )
+
+
 # -------------------------------------------------------------------- FASTA
 def read_fasta(path: Union[str, Path]) -> List[Tuple[str, str]]:
     """Parse a FASTA file into (name, sequence) pairs."""

@@ -66,6 +66,25 @@ def load_split_ids(data_dir: Union[str, Path], split: str) -> List[str]:
         return [line.strip() for line in f if line.strip()]
 
 
+class CombinedDataset:
+    """Infinite shuffled stream over the cache (reference `data.py:187-204`;
+    unused by the reference trainer but part of its surface)."""
+
+    def __init__(self, root_dir: Union[str, Path], pdb_ids: Sequence[str],
+                 seed: int = 0):
+        self.root_dir = Path(root_dir)
+        self.pdb_ids = list(pdb_ids)
+        rng = np.random.RandomState(seed)
+        rng.shuffle(self.pdb_ids)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        while True:
+            for pdb_id in self.pdb_ids:
+                data = load_complex_cache(self.root_dir, pdb_id)
+                data["pdb_id"] = pdb_id
+                yield data
+
+
 class PDBDataset:
     """Map-style dataset over the complex cache (reference `data.py:170-185`)."""
 

@@ -48,6 +48,7 @@ class TriangleAttention(nn.Module):
     head_dim: int
     num_heads: int
     mode: str  # "starting" | "ending"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -59,7 +60,7 @@ class TriangleAttention(nn.Module):
             pair = jnp.swapaxes(pair, -2, -3)
             mask_2d = jnp.swapaxes(mask_2d, -1, -2)
         out = GatedAttention(
-            self.head_dim, self.num_heads,
+            self.head_dim, self.num_heads, use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(pair, mask_2d)
         if self.mode == "ending":
@@ -149,6 +150,7 @@ class SPAttention(nn.Module):
     single_dim: int
     pair_dim: int
     num_heads: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -182,14 +184,12 @@ class SPAttention(nn.Module):
         v = proj("linear_v", "glorot", False)
         g = jax.nn.sigmoid(proj("linear_g", "gating", True))
 
-        logits = jnp.einsum(
-            "...ihc,...jhc->...hij", q, k, preferred_element_type=jnp.float32
-        )
-        logits = logits + bias.astype(jnp.float32)
-        attn = masked_softmax(logits, mask=None)  # quirk: padding attended
-        o = jnp.einsum(
-            "...hij,...jhc->...ihc", attn.astype(self.dtype), v,
-            preferred_element_type=jnp.float32,
+        from .layers import attention_core
+
+        # quirk: no padding mask — padded positions are attended
+        o = attention_core(
+            q, k, v, mask=None, attn_bias=bias, scale=1.0,
+            use_pallas=self.use_pallas,
         ).astype(self.dtype)
         o = g * o
         o = o.reshape(o.shape[:-2] + (H * C,))
@@ -264,7 +264,8 @@ class FoldingBlock(nn.Module):
         attn_bias = jnp.moveaxis(attn_bias, -1, -3)  # [..., H, i, j]
 
         single = single + GatedAttention(
-            self.head_dim, self.num_heads, name="single_attn", **kw
+            self.head_dim, self.num_heads, use_pallas=self.use_pallas,
+            name="single_attn", **kw
         )(single, mask, attn_bias=attn_bias)
         single = single + TransitionMLP(
             self.single_dim * self.transition_factor, self.single_dim,
@@ -279,11 +280,11 @@ class FoldingBlock(nn.Module):
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "starting",
-            name="pair_attn_starting", **kw,
+            use_pallas=self.use_pallas, name="pair_attn_starting", **kw,
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "ending",
-            name="pair_attn_ending", **kw,
+            use_pallas=self.use_pallas, name="pair_attn_ending", **kw,
         )(pair, mask_2d)
         pair = pair + TransitionMLP(
             self.pair_dim * self.transition_factor, self.pair_dim,
@@ -316,7 +317,7 @@ class Denoiser(nn.Module):
         )(single, mask)
         single = SPAttention(
             cfg.single_dim, cfg.pair_dim, cfg.num_heads,
-            name="spa_attn", **kw,
+            use_pallas=cfg.use_pallas, name="spa_attn", **kw,
         )(single, pair, mask)
 
         BlockStack = nn.remat(FoldingBlock) if cfg.remat else FoldingBlock

@@ -224,6 +224,42 @@ def masked_softmax(
     return jax.nn.softmax(logits, axis=-1)
 
 
+def attention_core(
+    query: jnp.ndarray,   # [..., N, H, C]
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    mask: Optional[jnp.ndarray],       # broadcastable to [..., N]
+    attn_bias: Optional[jnp.ndarray],  # [..., H, N, N]
+    scale: float,
+    use_pallas: bool,
+) -> jnp.ndarray:
+    """Row-flatten leading dims and dispatch to the Pallas fused-attention
+    kernel (ops/pallas_attention.py) or the einsum fallback."""
+    from ..ops.pallas_attention import gated_attention_core
+
+    lead = query.shape[:-3]
+    N, H, C = query.shape[-3:]
+    R = 1
+    for d in lead:
+        R *= d
+    qf = query.reshape((R, N, H, C))
+    kf = key.reshape((R, N, H, C))
+    vf = value.reshape((R, N, H, C))
+    maskf = None
+    if mask is not None:
+        maskf = jnp.broadcast_to(mask, lead + (N,)).reshape((R, N))
+    biasf = None
+    if attn_bias is not None:
+        biasf = jnp.broadcast_to(
+            attn_bias, lead + (H, N, N)
+        ).reshape((R, H, N, N))
+    interpret = jax.default_backend() == "cpu"
+    out = gated_attention_core(
+        qf, kf, vf, maskf, biasf, scale, use_pallas, interpret
+    )
+    return out.reshape(lead + (N, H, C))
+
+
 class GatedAttention(nn.Module):
     """Per-head gated MHA with optional additive bias
     (reference `modules.py:170-225`).
@@ -234,6 +270,7 @@ class GatedAttention(nn.Module):
 
     head_dim: int
     num_heads: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -260,17 +297,9 @@ class GatedAttention(nn.Module):
         value = proj("v_proj", "glorot", False)
         gate = jax.nn.sigmoid(proj("gate_proj", "gating", True))
 
-        scale = 1.0 / math.sqrt(C)
-        logits = jnp.einsum(
-            "...ihc,...jhc->...hij", scale * query, key,
-            preferred_element_type=jnp.float32,
-        )
-        if attn_bias is not None:
-            logits = logits + attn_bias.astype(jnp.float32)
-        attn = masked_softmax(logits, mask[..., None, None, :])
-        out = jnp.einsum(
-            "...hij,...jhc->...ihc", attn.astype(self.dtype), value,
-            preferred_element_type=jnp.float32,
+        out = attention_core(
+            query, key, value, mask, attn_bias,
+            scale=1.0 / math.sqrt(C), use_pallas=self.use_pallas,
         ).astype(self.dtype)
         out = gate * out
         out = out.reshape(out.shape[:-2] + (H * C,))

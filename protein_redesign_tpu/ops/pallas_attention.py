@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: fused masked/biased multi-head attention.
+
+The denoiser's attention family (single attention with pair bias, triangle
+attention over pair rows, SPAttention) all reduce to: per row r and head h,
+``softmax(q k^T * scale + bias - inf*(1-mask)) v``. The XLA fallback
+materializes the [rows, H, N, N] logits/probabilities in HBM — ~905 MB at
+N=384 (B=1, H=4, f32) and the dominant HBM traffic of a denoiser step.
+This kernel keeps each q-tile's [TQ, N] logits in VMEM and writes only the
+[rows, N, H, C] output, making attention compute-bound on the MXU.
+
+Complexes are bucketed to N in {64,128,...,512} (data/collate.py), so N is
+always lane-aligned and small enough that a full key block fits VMEM; no
+online-softmax chunking is needed.
+
+Training: gradients flow through a custom VJP whose backward pass
+recomputes via the plain einsum formulation (attention here is a small
+fraction of backward FLOPs; correctness first).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -(2.0**15)  # the reference's padding fill (`modules.py:220`)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref):
+    """One (row, head, q-tile) program: full-key attention in VMEM."""
+    q = q_ref[0, 0]            # [TQ, C]
+    k = k_ref[0, 0]            # [N, C]
+    v = v_ref[0, 0]            # [N, C]
+    logits = jnp.dot(
+        q, k.T, preferred_element_type=jnp.float32
+    )                           # [TQ, N]
+    if bias_ref is not None:
+        logits += bias_ref[0, 0].astype(jnp.float32)
+    mask = mask_ref[0, 0]       # [N]
+    logits = jnp.where(mask[None, :] < 0.5, NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_ref[0, 0] = jnp.dot(
+        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _attn_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        logits += bias_ref[0, 0].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out_ref[0, 0] = jnp.dot(
+        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _pick_tile(n: int) -> int:
+    for t in (256, 128, 64, 32, 16, 8):
+        if n % t == 0:
+            return t
+    return n
+
+
+def _attention_reference(q, k, v, mask, bias, scale):
+    """Plain einsum formulation (used for the VJP backward and as the
+    numerics reference)."""
+    logits = jnp.einsum(
+        "rihc,rjhc->rhij", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :] < 0.5, NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "rhij,rjhc->rihc", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(
+    q: jnp.ndarray,            # [R, N, H, C]
+    k: jnp.ndarray,            # [R, N, H, C]
+    v: jnp.ndarray,            # [R, N, H, C]
+    mask: Optional[jnp.ndarray],   # [R, N] or None
+    bias: Optional[jnp.ndarray],   # [R, H, N, N] or None
+    scale: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    return _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
+
+
+def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
+    R, N, H, C = q.shape
+    TQ = _pick_tile(N)
+    # [R, H, N, C] layout for row/head-major blocking.
+    qt = jnp.swapaxes(q * scale, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    grid = (R, H, N // TQ)
+    in_specs = [
+        pl.BlockSpec((1, 1, TQ, C), lambda r, h, i: (r, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N, C), lambda r, h, i: (r, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N, C), lambda r, h, i: (r, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qt, kt, vt]
+    if mask is not None:
+        # [R, 1, N] so the trailing block dims are (1, N) == array dims
+        # (TPU tiling requires trailing block dims divisible or full).
+        in_specs.append(
+            pl.BlockSpec((1, 1, N), lambda r, h, i: (r, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask[:, None, :])
+        kernel = _attn_kernel
+    else:
+        kernel = _attn_kernel_nomask
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, TQ, N), lambda r, h, i: (r, h, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+        kern = kernel
+    else:
+        # Partially apply bias_ref=None.
+        if kernel is _attn_kernel:
+            def kern(q_ref, k_ref, v_ref, mask_ref, out_ref):
+                _attn_kernel(q_ref, k_ref, v_ref, mask_ref, None, out_ref)
+        else:
+            def kern(q_ref, k_ref, v_ref, out_ref):
+                _attn_kernel_nomask(q_ref, k_ref, v_ref, None, out_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, TQ, C), lambda r, h, i: (r, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, H, N, C), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * N * N * C,
+            bytes_accessed=(3 * R * N * H * C + R * N * H * C) * 2,
+            transcendentals=R * H * N * N,
+        ),
+    )(*args)
+    return jnp.swapaxes(out, 1, 2)  # [R, N, H, C]
+
+
+def _fwd(q, k, v, mask, bias, scale, interpret):
+    out = _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
+    return out, (q, k, v, mask, bias)
+
+
+def _bwd(scale, interpret, residuals, g):
+    q, k, v, mask, bias = residuals
+
+    def ref_fn(q, k, v, bias):
+        return _attention_reference(q, k, v, mask, bias, scale)
+
+    if bias is None:
+        _, vjp = jax.vjp(lambda q, k, v: ref_fn(q, k, v, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        dbias = None
+    else:
+        _, vjp = jax.vjp(ref_fn, q, k, v, bias)
+        dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, None, dbias
+
+
+fused_attention.defvjp(_fwd, _bwd)
+
+
+def gated_attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    bias: Optional[jnp.ndarray],
+    scale: float,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dispatch between the Pallas kernel and the einsum fallback.
+
+    All inputs row-flattened: q/k/v [R, N, H, C]; mask [R, N];
+    bias [R, H, N, N]. Output [R, N, H, C].
+    """
+    if use_pallas:
+        return fused_attention(q, k, v, mask, bias, scale, interpret)
+    return _attention_reference(q, k, v, mask, bias, scale)

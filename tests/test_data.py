@@ -1,0 +1,151 @@
+"""Data-layer tests: featurization, collate layout parity, cache, pipeline."""
+
+import numpy as np
+import pytest
+
+from protein_redesign_tpu.chem import (
+    mol_from_smiles,
+    protein_from_sequence,
+    update_mol_positions,
+)
+from protein_redesign_tpu.data import (
+    collate_fn,
+    ligand_to_data,
+    load_complex_cache,
+    pick_bucket,
+    protein_to_data,
+    save_complex_cache,
+)
+from protein_redesign_tpu.data.collate import numeric_batch
+from protein_redesign_tpu.data.pipeline import batches, prefetch
+
+
+def sample(n_res=5, smiles="CCO", seed=0):
+    rng = np.random.RandomState(seed)
+    mol = mol_from_smiles(smiles)
+    mol = update_mol_positions(
+        mol, rng.randn(mol.num_atoms(), 3).astype(np.float32)
+    )
+    prot = protein_from_sequence("ACDEFGHIKLMNPQRSTVWY"[:n_res])
+    return {
+        **ligand_to_data(mol),
+        **protein_to_data(prot, esm_dim=8),
+    }
+
+
+class TestFeaturize:
+    def test_ligand_tensors(self):
+        d = sample()
+        assert d["num_atoms"] == 3
+        assert d["atom_feats"].shape == (3, 9)
+        assert d["bond_feats"].shape == (3, 3, 3)
+        # CCO: C-C and C-O bonds, symmetric
+        assert d["bond_mask"][0, 1] == 1 and d["bond_mask"][1, 0] == 1
+        assert d["bond_mask"][0, 2] == 0
+        assert d["bond_distance"][0, 2] == 2
+
+    def test_protein_tensors(self):
+        d = sample(n_res=4)
+        assert d["num_residues"] == 4
+        assert d["residue_atom_pos"].shape == (4, 37, 3)
+        assert d["residue_esm"].shape == (4, 8)
+
+
+class TestCollate:
+    def test_layout_atoms_then_residues(self):
+        """Reference layout (`data.py:80-142`): atoms in [0, A), residues in
+        [A, A+R), residue_type shifted +1."""
+        d = sample(n_res=5)  # 3 atoms + 5 residues = 8 nodes
+        batch = collate_fn([d], buckets=(16,))
+        A = d["num_atoms"]
+        assert batch["atom_mask"].shape == (1, 16)
+        np.testing.assert_array_equal(
+            batch["atom_mask"][0, :A], np.ones(A)
+        )
+        assert batch["atom_mask"][0, A:].sum() == 0
+        np.testing.assert_array_equal(
+            batch["residue_mask"][0, A: A + 5], np.ones(5)
+        )
+        assert batch["residue_mask"][0, :A].sum() == 0
+        # +1 shift: 'A' (aatype 0) becomes class 1; padding stays 0.
+        assert batch["residue_type"][0, A] == 1
+        assert batch["residue_type"][0, 0] == 0
+        assert batch["residue_type"][0, -1] == 0
+        # bond tensors pad on both trailing complex axes
+        assert batch["bond_feats"].shape == (1, 16, 16, 3)
+        assert batch["bond_mask"].shape == (1, 16, 16)
+
+    def test_mixed_sizes_pad_to_common_bucket(self):
+        d1, d2 = sample(n_res=4), sample(n_res=12, smiles="c1ccccc1")
+        batch = collate_fn([d1, d2], buckets=(8, 24, 48))
+        assert batch["atom_mask"].shape == (2, 24)  # max(3+4, 6+12)=18 -> 24
+
+    def test_x_mask_becomes_class_zero(self):
+        prot = protein_from_sequence("AXC")
+        d = {**sample(n_res=1), **protein_to_data(prot, esm_dim=8)}
+        d["num_residues"] = 3
+        batch = collate_fn([d], buckets=(8,))
+        A = d["num_atoms"]
+        # X has aatype -1 -> shifted to 0 (the mask class)
+        assert batch["residue_type"][0, A + 1] == 0
+        assert batch["residue_type"][0, A] == 1  # 'A'
+
+    def test_pick_bucket(self):
+        assert pick_bucket(5, (8, 16)) == 8
+        assert pick_bucket(8, (8, 16)) == 8
+        assert pick_bucket(9, (8, 16)) == 16
+        with pytest.raises(ValueError):
+            pick_bucket(17, (8, 16))
+
+    def test_mol_fields_stay_python(self):
+        d = sample()
+        batch = collate_fn([d, d], buckets=(16,))
+        assert isinstance(batch["ligand_mol"], list)
+        assert "ligand_mol" not in numeric_batch(batch)
+
+
+class TestCache:
+    def test_roundtrip(self, tmp_path):
+        d = sample()
+        save_complex_cache(tmp_path, "1abc", d)
+        loaded = load_complex_cache(tmp_path, "1abc")
+        assert loaded["num_atoms"] == 3
+        np.testing.assert_allclose(loaded["atom_pos"], d["atom_pos"])
+        np.testing.assert_array_equal(loaded["residue_type"],
+                                      d["residue_type"])
+        with_mols = load_complex_cache(tmp_path, "1abc", with_mols=True)
+        assert with_mols["ligand_mol"].num_atoms() == 3
+
+
+class TestPipeline:
+    def _ds(self):
+        class DS:
+            def __len__(self):
+                return 5
+
+            def __getitem__(self, i):
+                return sample(n_res=4 + i, seed=i)
+
+        return DS()
+
+    def test_batches_shapes(self):
+        out = list(batches(self._ds(), 2, (16, 32)))
+        assert len(out) == 3  # 5 samples, last padded by repetition
+        assert all(b["atom_mask"].shape[0] == 2 for b in out)
+
+    def test_accum_reshape(self):
+        out = list(batches(self._ds(), 1, (16, 32), accum=2))
+        assert out[0]["atom_mask"].shape[:2] == (2, 1)
+
+    def test_prefetch_preserves_order_and_errors(self):
+        items = list(prefetch(iter(range(10)), size=3))
+        assert items == list(range(10))
+
+        def bad():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = prefetch(bad(), size=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            list(it)
