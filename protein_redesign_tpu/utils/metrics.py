@@ -1,0 +1,90 @@
+"""Evaluation metrics for redesign quality.
+
+The reference paper evaluates sequence diversity, structural preservation,
+and ligand binding affinity but ships no metric code (SURVEY.md §6).
+This module provides the first two families (binding affinity requires an
+external docking tool and stays out of scope):
+
+- sequence recovery / identity between designs and the input
+- pairwise sequence diversity across samples
+- CA RMSD after Kabsch superposition (numpy) and TM-score via the
+  in-repo aligner (utils/tmalign.py)
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..chem.protein import Protein
+
+
+def sequence_identity(a: str, b: str) -> float:
+    """Fraction identical over aligned (equal-length) positions."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0.0
+    return sum(1 for x, y in zip(a[:n], b[:n]) if x == y) / n
+
+
+def sequence_recovery(
+    designs: Sequence[str], reference: str, masked_only: Sequence[int] = ()
+) -> float:
+    """Mean identity vs the reference sequence; optionally restricted to
+    the masked positions (the redesign targets)."""
+    scores = []
+    for d in designs:
+        if masked_only:
+            n = min(len(d), len(reference))
+            pos = [i for i in masked_only if i < n]
+            if not pos:
+                continue
+            scores.append(
+                sum(1 for i in pos if d[i] == reference[i]) / len(pos)
+            )
+        else:
+            scores.append(sequence_identity(d, reference))
+    return float(np.mean(scores)) if scores else 0.0
+
+
+def sequence_diversity(designs: Sequence[str]) -> float:
+    """Mean pairwise (1 - identity) across the design set."""
+    if len(designs) < 2:
+        return 0.0
+    vals = []
+    for i in range(len(designs)):
+        for j in range(i + 1, len(designs)):
+            vals.append(1.0 - sequence_identity(designs[i], designs[j]))
+    return float(np.mean(vals))
+
+
+def kabsch_rmsd(x: np.ndarray, y: np.ndarray) -> float:
+    """CA RMSD after optimal rigid superposition (proper rotation)."""
+    assert x.shape == y.shape and x.shape[-1] == 3
+    xc = x - x.mean(axis=0)
+    yc = y - y.mean(axis=0)
+    C = xc.T @ yc
+    U, S, Vt = np.linalg.svd(C)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    R = Vt.T @ D @ U.T
+    aligned = xc @ R.T
+    return float(np.sqrt(np.mean(np.sum((aligned - yc) ** 2, axis=-1))))
+
+
+def ca_rmsd(prb: Protein, ref: Protein) -> float:
+    """RMSD over the common CA prefix."""
+    n = min(len(prb), len(ref))
+    x = prb.atom_pos[:n, 1]
+    y = ref.atom_pos[:n, 1]
+    return kabsch_rmsd(x, y)
+
+
+def tm_scores(
+    samples: Sequence[Protein], ref: Protein
+) -> List[float]:
+    """Mirror-aware TM-scores of each sample vs the reference."""
+    from .tmalign import best_tmalign
+
+    return [best_tmalign(p, ref)[0] for p in samples]
