@@ -180,15 +180,35 @@ class SamplingRunner:
         buckets: Sequence[int] = (64, 128, 192, 256, 384, 512),
         batch_size: int = 1,
         mask_prob: Optional[float] = None,
+        mesh=None,
     ):
+        """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
+        sharded over the 'data' axis and params replicated — data-parallel
+        sampling across chips (the reference's DDP-predict,
+        `predict_batch_strc_msk_inp.py:209-216`, the XLA way). batch_size
+        should then be a multiple of the data-axis size."""
         self.model = model
-        self.params = params
         self.buckets = tuple(buckets)
         self.batch_size = batch_size
         self.mask_prob = mask_prob
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self.params = jax.device_put(params, replicated(mesh))
+        else:
+            self.params = params
         self._jit = jax.jit(
             lambda p, b, k: model.sample(p, b, k, mask_prob=self.mask_prob)
         )
+
+    def _put_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P("data"))
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     def run(
         self, datas: Sequence[Dict], key: jax.Array
@@ -207,12 +227,20 @@ class SamplingRunner:
         for start in range(0, len(order), self.batch_size):
             idxs = order[start: start + self.batch_size]
             group = [datas[i] for i in idxs]
+            pad_rows = 0
+            if self.mesh is not None:
+                # Keep the sharded batch axis full (repeat the last sample).
+                d_size = self.mesh.shape["data"]
+                while len(group) % d_size:
+                    group.append(group[-1])
+                    pad_rows += 1
             n_max = max(d["num_atoms"] + d["num_residues"] for d in group)
             bucket = pick_bucket(n_max, self.buckets)
             batch = numeric_batch(
                 collate_fn(group, buckets=(bucket,))
             )
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = self._put_batch(batch)
             key, sub = jax.random.split(key)
             pos, seq_logits = self._jit(self.params, batch, sub)
             pos = np.asarray(pos)

@@ -77,7 +77,16 @@ def main(argv=None):
     devices = jax.devices()
     if train_cfg.num_devices > 0:
         devices = devices[: train_cfg.num_devices]
-    mesh = make_mesh(devices, train_cfg.mesh_shape)
+    if train_cfg.mesh_shape is None:
+        # Data axis must divide the per-step batch (the reference's DDP has
+        # the same constraint, one sample slice per rank).
+        import math as _math
+
+        d_axis = _math.gcd(data_cfg.batch_size, len(devices))
+        devices = devices[:d_axis]
+        mesh = make_mesh(devices, (d_axis, 1))
+    else:
+        mesh = make_mesh(devices, train_cfg.mesh_shape)
     print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
 
     model = ProteinReDiffModel(cfg)
@@ -98,7 +107,15 @@ def main(argv=None):
     ))
     sample = {k: v[0] if accum > 1 else v for k, v in first.items()}
     if args.trained_ckpt:
-        state, cfg_loaded = load_checkpoint(args.trained_ckpt)
+        def target_factory(ckpt_cfg):
+            return make_train_state(
+                ProteinReDiffModel(ckpt_cfg.replace(training_mode=True)),
+                train_cfg, key, sample,
+            )
+
+        state, cfg_loaded = load_checkpoint(
+            args.trained_ckpt, target_factory=target_factory
+        )
         cfg = cfg_loaded.replace(training_mode=True)
         model = ProteinReDiffModel(cfg)
         print(f"resumed from {args.trained_ckpt} at step {int(state.step)}")
@@ -149,6 +166,20 @@ def main(argv=None):
     step = int(state.step)
     epoch = 0
     stop = False
+    # Graceful shutdown: clusters kill long runs (the reference resumes by
+    # hand, README.md:161-162); we checkpoint on SIGTERM/SIGINT instead.
+    import signal
+
+    interrupted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        interrupted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not on the main thread
     with maybe_profile(save_dir, args.profile):
         while not stop:
             it = batches(
@@ -173,17 +204,21 @@ def main(argv=None):
                     })
                     print(f"step {step}: loss={float(metrics['loss']):.4f}")
                 if step % train_cfg.val_every_steps == 0:
-                    val_loss = run_validation(jax.random.fold_in(key, -step))
+                    val_loss = run_validation(jax.random.fold_in(key, step + 1_000_000_007))
                     logger.log(step, {"val_loss": val_loss})
                     print(f"step {step}: val_loss={val_loss:.4f}")
                     save_checkpoint(manager, state, cfg, val_loss)
+                if interrupted["flag"]:
+                    print("signal received; checkpointing and exiting")
+                    stop = True
+                    break
                 if 0 < train_cfg.max_steps <= step:
                     stop = True
                     break
             epoch += 1
             if 0 < train_cfg.max_epochs <= epoch:
                 stop = True
-    val_loss = run_validation(jax.random.fold_in(key, -step - 1))
+    val_loss = run_validation(jax.random.fold_in(key, step + 2_000_000_011))
     save_checkpoint(manager, state, cfg, val_loss)
     manager.wait_until_finished()
     print(f"done at step {step}; final val_loss={val_loss:.4f}")

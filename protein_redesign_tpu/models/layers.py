@@ -118,7 +118,7 @@ class FusedCategoricalEmbedding(nn.Module):
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
         total = int(sum(self.sizes))
         offsets = jnp.asarray(
-            np.concatenate([[0], np.cumsum(self.sizes)[:-1]]), dtype=feats.dtype
+            np.concatenate([[0], np.cumsum(self.sizes)[:-1]]).astype(np.int32), dtype=feats.dtype
         )
         table = self.param(
             "table",

@@ -58,25 +58,43 @@ def save_checkpoint(
 def load_checkpoint(
     directory: Union[str, Path],
     step: Optional[int] = None,
+    target_factory: Optional[Any] = None,
     **config_overrides: Any,
 ) -> Tuple[TrainState, ModelConfig]:
     """Restore (TrainState, ModelConfig); kwargs override config fields
-    (e.g. ``num_steps=1000`` for generation)."""
+    (e.g. ``num_steps=1000`` for generation).
+
+    Without ``target_factory`` the state comes back with plain-dict leaves —
+    fine for inference (params/ema_params are dicts anyway) but the optax
+    ``opt_state`` loses its NamedTuple structure. For resuming training,
+    pass ``target_factory(cfg) -> TrainState`` (a template with the right
+    structure, e.g. a fresh ``make_train_state``)."""
     manager = make_manager(directory)
     if step is None:
         step = manager.latest_step()
     if step is None:
         raise FileNotFoundError(f"No checkpoints under {directory}")
-    restored = manager.restore(
-        step,
-        args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(),
-            config=ocp.args.JsonRestore(),
-        ),
+    cfg_restored = manager.restore(
+        step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
     )
-    cfg_dict = dict(restored["config"])
+    cfg_dict = dict(cfg_restored["config"])
     cfg_dict.update(config_overrides)
     cfg = ModelConfig(**cfg_dict)
+
+    if target_factory is not None:
+        template = target_factory(cfg)
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, template
+        )
+        restored = manager.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)),
+        )
+        return restored["state"], cfg
+
+    restored = manager.restore(
+        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+    )
     raw = restored["state"]
     state = TrainState(
         step=raw["step"],
