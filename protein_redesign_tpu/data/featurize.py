@@ -67,12 +67,15 @@ def protein_to_data(
     the pluggable-ESM policy of this framework (SURVEY.md §7.1): embeddings
     are precomputed host-side and cached, never computed inside the graph.
     """
+    from ..chem.protein import protein_to_ca_trace
+
     num_residues = len(prot.aatype)
     if residue_esm is None:
         residue_esm = np.zeros((num_residues, esm_dim), dtype=np.float32)
     if residue_esm_tokens is None:
         residue_esm_tokens = np.zeros((num_residues,), dtype=np.int64)
     return {
+        "protein_mol": protein_to_ca_trace(prot),  # reference `data.py:68`
         "num_residues": num_residues,
         "residue_type": prot.aatype.astype(np.int64),
         "residue_mask": np.ones((num_residues,), dtype=np.float32),
