@@ -68,6 +68,64 @@ def _pick_tile(n: int) -> int:
     return n
 
 
+def _make_rows_kernel(RB: int, H: int):
+    """Row-blocked kernel: one program handles RB rows x H heads with the
+    full key range in VMEM. Program count R/RB (vs R*H*tiles for the tiled
+    kernel) — per-program launch overhead dominated the first design at
+    pair-attention scale (R = B*N rows)."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
+        for b in range(RB):
+            mask = mask_ref[b, 0]  # [N]
+            for h in range(H):
+                q = q_ref[b, h]    # [N, C]
+                k = k_ref[b, h]
+                v = v_ref[b, h]
+                logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+                logits = jnp.where(mask[None, :] < 0.5, NEG_INF, logits)
+                probs = jax.nn.softmax(logits, axis=-1)
+                out_ref[b, h] = jnp.dot(
+                    probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _rows_attention(qt, kt, vt, mask, interpret):
+    """No-bias masked attention via the row-blocked kernel.
+
+    qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
+    R, H, N, C = qt.shape
+    RB = 1
+    for cand in (16, 8, 4, 2, 1):
+        if R % cand == 0:
+            RB = cand
+            break
+    grid = (R // RB,)
+    spec_qkv = pl.BlockSpec(
+        (RB, H, N, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_rows_kernel(RB, H),
+        grid=grid,
+        in_specs=[
+            spec_qkv, spec_qkv, spec_qkv,
+            pl.BlockSpec((RB, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec_qkv,
+        out_shape=jax.ShapeDtypeStruct((R, H, N, C), qt.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * N * N * C,
+            bytes_accessed=8 * R * N * H * C,
+            transcendentals=R * H * N * N,
+        ),
+    )(qt, kt, vt, mask[:, None, :])
+    return out
+
+
 def _attention_reference(q, k, v, mask, bias, scale):
     """Plain einsum formulation (used for the VJP backward and as the
     numerics reference)."""
@@ -106,6 +164,10 @@ def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
     qt = jnp.swapaxes(q * scale, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
+    if bias is None and mask is not None:
+        # Triangle-attention shape (R = B*N rows): row-blocked kernel.
+        out = _rows_attention(qt, kt, vt, mask, interpret)
+        return jnp.swapaxes(out, 1, 2)
     grid = (R, H, N // TQ)
     in_specs = [
         pl.BlockSpec((1, 1, TQ, C), lambda r, h, i: (r, h, i, 0),
