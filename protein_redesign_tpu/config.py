@@ -100,11 +100,20 @@ class TrainConfig:
 
 
 def _add_dataclass_args(parser: ArgumentParser, cls: type, group: str) -> None:
+    from argparse import BooleanOptionalAction
+
     g = parser.add_argument_group(group)
     for field in dataclasses.fields(cls):
         name = f"--{field.name}"
         if field.type in ("bool", bool) or isinstance(field.default, bool):
-            g.add_argument(name, action="store_true", default=field.default)
+            if field.default:
+                # default-True flags get --x / --no-x pairs
+                g.add_argument(name, action=BooleanOptionalAction,
+                               default=field.default)
+            else:
+                # reference-style store_true flags (--training_mode, ...)
+                g.add_argument(name, action="store_true",
+                               default=field.default)
         elif isinstance(field.default, (tuple, list)):
             g.add_argument(
                 name,
