@@ -72,12 +72,14 @@ def _make_rows_kernel(RB: int, H: int):
     """Row-blocked kernel: one program handles RB rows x H heads with the
     full key range in VMEM. Program count R/RB (vs R*H*tiles for the tiled
     kernel) — per-program launch overhead dominated the first design at
-    pair-attention scale (R = B*N rows)."""
+    pair-attention scale (R = B*N rows). Rows iterate via fori_loop (not
+    unrolled) so only one row's intermediates are live — an unrolled
+    RB x H body blew the 16 MB scoped-VMEM budget."""
 
     def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
-        for b in range(RB):
+        def row(b, _):
             mask = mask_ref[b, 0]  # [N]
-            for h in range(H):
+            for h in range(H):     # static unroll over heads only
                 q = q_ref[b, h]    # [N, C]
                 k = k_ref[b, h]
                 v = v_ref[b, h]
@@ -88,6 +90,9 @@ def _make_rows_kernel(RB: int, H: int):
                     probs.astype(v.dtype), v,
                     preferred_element_type=jnp.float32,
                 ).astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, RB, row, 0)
 
     return kernel
 
@@ -98,7 +103,7 @@ def _rows_attention(qt, kt, vt, mask, interpret):
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
     R, H, N, C = qt.shape
     RB = 1
-    for cand in (16, 8, 4, 2, 1):
+    for cand in (8, 4, 2, 1):
         if R % cand == 0:
             RB = cand
             break
