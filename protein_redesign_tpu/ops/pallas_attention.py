@@ -102,8 +102,10 @@ def _rows_attention(qt, kt, vt, mask, interpret):
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
     R, H, N, C = qt.shape
+    # RB bounded by the 16 MB scoped-VMEM budget: 4 row-blocks of
+    # [H, N, C] q/k/v/out + double buffering fits at N=512.
     RB = 1
-    for cand in (8, 4, 2, 1):
+    for cand in (4, 2, 1):
         if R % cand == 0:
             RB = cand
             break
