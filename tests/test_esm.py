@@ -1,0 +1,51 @@
+"""ESM alphabet/token semantics and offline-fallback behavior."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from protein_redesign_tpu.models.masking import mask_esm_tokens
+from protein_redesign_tpu.utils.esm import (
+    ESM_TOKEN_INDEX,
+    ESMEmbedder,
+    esm_tokens,
+)
+
+
+class TestTokens:
+    def test_alphabet_anchors(self):
+        # The ids the reference masking hardcodes (`mask_utils.py:94-95`).
+        assert ESM_TOKEN_INDEX["<mask>"] == 32
+        assert ESM_TOKEN_INDEX["<pad>"] == 1
+        assert ESM_TOKEN_INDEX["<cls>"] == 0
+        assert ESM_TOKEN_INDEX["L"] == 4
+        assert ESM_TOKEN_INDEX["A"] == 5
+
+    def test_sequence_tokens(self):
+        toks = esm_tokens("LAX")
+        np.testing.assert_array_equal(toks, [4, 5, ESM_TOKEN_INDEX["X"]])
+
+    def test_mask_esm_tokens(self):
+        residue_mask = jnp.asarray([[1.0, 1.0, 1.0, 0.0]])
+        extra = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])  # position 1 masked
+        tokens = jnp.asarray([[4, 5, 6, 0]])
+        out = np.asarray(mask_esm_tokens(tokens, residue_mask, extra))
+        np.testing.assert_array_equal(out, [[4, 32, 6, 1]])
+
+
+class TestEmbedderFallback:
+    def test_offline_zero_fallback(self, monkeypatch):
+        monkeypatch.setenv("PRD_DISABLE_ESM", "1")
+        emb = ESMEmbedder(esm_dim=32)
+        out = emb.embed_chain("ACDE")
+        assert out.shape == (4, 32)
+        assert (out == 0).all()
+
+    def test_embed_protein_masked_lengths(self, monkeypatch):
+        monkeypatch.setenv("PRD_DISABLE_ESM", "1")
+        from protein_redesign_tpu.chem import protein_from_sequence
+
+        emb = ESMEmbedder(esm_dim=16)
+        prot = protein_from_sequence("ACXDE")  # X -> '<mask>' token
+        out = emb.embed_protein(prot)
+        assert out.shape == (5, 16)
