@@ -18,7 +18,7 @@ perception level (sufficient for the featurizer vocabulary).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from .elements import ATOMIC_NUM
 from .mol import Atom, Bond, Molecule

@@ -16,7 +16,6 @@ import warnings
 from argparse import ArgumentParser
 from pathlib import Path
 
-import numpy as np
 
 
 def main(argv=None):

@@ -54,12 +54,7 @@ def main(argv=None):
     from ..data.dataset import PDBDataset, load_split_ids
     from ..data.pipeline import batches, prefetch
     from ..models.prdiff import ProteinReDiffModel
-    from ..parallel.mesh import (
-        batch_sharding,
-        make_mesh,
-        param_sharding,
-        replicated,
-    )
+    from ..parallel.mesh import make_mesh, param_sharding, replicated
     from ..parallel.train_step import (
         make_eval_step,
         make_train_state,

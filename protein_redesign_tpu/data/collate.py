@@ -13,7 +13,7 @@ fixed bucket ladder, so the denoiser compiles once per bucket.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, Mapping, Optional, Sequence
 
 import numpy as np
 

@@ -23,7 +23,7 @@ Reference quirks reproduced deliberately for checkpoint parity
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from .layers import (
     LayerNorm,
     PRLinear,
     TransitionMLP,
-    masked_softmax,
+    attention_core,
 )
 
 Dtype = Any
@@ -183,8 +183,6 @@ class SPAttention(nn.Module):
         k = proj("linear_k", "glorot", False)
         v = proj("linear_v", "glorot", False)
         g = jax.nn.sigmoid(proj("linear_g", "gating", True))
-
-        from .layers import attention_core
 
         # quirk: no padding mask — padded positions are attended
         o = attention_core(

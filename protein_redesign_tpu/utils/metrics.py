@@ -13,7 +13,7 @@ external docking tool and stays out of scope):
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
