@@ -1,0 +1,155 @@
+"""Batch-serving CLI: JSONL requests in, JSONL results out.
+
+Production-deployment surface beyond the reference's one-shot scripts: a
+long-lived process that keeps the model compiled (one jit cache entry per
+bucket) and streams redesign requests through the scan-based sampler.
+
+Request (one JSON object per line on stdin or --input file):
+    {"id": "req1", "protein": "<sequence-with-X-or-.pdb-path>",
+     "ligand": "<SMILES-or-.sdf/.mol2-path-or-*>",
+     "num_samples": 4, "mask_prob": 0.3}
+
+Response (one JSON per request on stdout or --output file):
+    {"id": "req1", "sequences": [...], "tmscores": [...],
+     "pdb_files": [...], "sdf_files": [...]}
+
+Structures are written under --output_dir/<id>/.
+
+    python -m protein_redesign_tpu.cli.serve -c ckpt -o out/ \\
+        [--num_steps 1000] [--input reqs.jsonl] [--output results.jsonl]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from argparse import ArgumentParser
+from operator import itemgetter
+from pathlib import Path
+
+
+def handle_request(req, model, params, embedder, output_dir, default_mask_prob,
+                   batch_size=1):
+    import jax
+    import numpy as np
+
+    from ..chem.mol import get_mol_positions, mol_to_sdf, update_mol_positions
+    from ..chem.protein import protein_to_pdb_file, protein_to_sequence
+    from ..data.featurize import ligand_to_data, protein_to_data
+    from ..utils.tmalign import run_tmalign
+    from .common import (
+        SamplingRunner,
+        load_protein_arg,
+        parse_ligand_arg,
+        predict_seq,
+        update_pos,
+        update_seq,
+    )
+
+    req_id = str(req.get("id", "request"))
+    num_samples = int(req.get("num_samples", 1))
+    mask_prob = float(req.get("mask_prob", default_mask_prob))
+    seed = int(req.get("seed", 0))
+
+    protein = load_protein_arg(req["protein"])
+    ligand = parse_ligand_arg(req["ligand"])
+    data = {
+        **ligand_to_data(ligand),
+        **protein_to_data(
+            protein, residue_esm=embedder.embed_protein(protein)
+        ),
+    }
+    runner = SamplingRunner(
+        model, params, batch_size=batch_size, mask_prob=mask_prob
+    )
+    results = runner.run(
+        [data] * num_samples, jax.random.PRNGKey(seed)
+    )
+
+    req_dir = Path(output_dir) / req_id
+    req_dir.mkdir(parents=True, exist_ok=True)
+    sequences, tmscores, pdb_files, sdf_files = [], [], [], []
+    ref_protein = None
+    for i, (pos, seq_prob) in enumerate(results):
+        sp, sl = update_pos(protein, ligand, pos)
+        sp = update_seq(sp, seq_prob)
+        if ref_protein is None:
+            ref_protein = sp
+        tmscore, t, R = max(
+            run_tmalign(sp, ref_protein),
+            run_tmalign(sp, ref_protein, mirror=True),
+            key=itemgetter(0),
+        )
+        sp = dataclasses.replace(sp, atom_pos=t + sp.atom_pos @ R)
+        sl = update_mol_positions(sl, t + get_mol_positions(sl) @ R)
+        pdb_path = req_dir / f"sample_{i}.pdb"
+        sdf_path = req_dir / f"sample_{i}.sdf"
+        protein_to_pdb_file(sp, pdb_path)
+        with open(sdf_path, "w") as f:
+            f.write(mol_to_sdf(sl))
+        sequences.append(protein_to_sequence(sp))
+        tmscores.append(float(tmscore))
+        pdb_files.append(str(pdb_path))
+        sdf_files.append(str(sdf_path))
+    return {
+        "id": req_id,
+        "sequences": sequences,
+        "tmscores": tmscores,
+        "pdb_files": pdb_files,
+        "sdf_files": sdf_files,
+    }
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument("-c", "--ckpt_path", type=Path, required=True)
+    parser.add_argument("-o", "--output_dir", type=Path, required=True)
+    parser.add_argument("--num_steps", type=int, default=64)
+    parser.add_argument("--mask_prob", type=float, default=0.3)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--input", type=str, default=None,
+                        help="JSONL request file (default: stdin)")
+    parser.add_argument("--output", type=str, default=None,
+                        help="JSONL result file (default: stdout)")
+    args = parser.parse_args(argv)
+
+    from ..models.prdiff import ProteinReDiffModel
+    from ..utils.esm import ESMEmbedder
+    from .generate import _load_params
+
+    params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
+    model = ProteinReDiffModel(cfg.replace(training_mode=False))
+    embedder = ESMEmbedder(esm_dim=cfg.esm_dim)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+
+    in_f = open(args.input) if args.input else sys.stdin
+    out_f = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for line in in_f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                result = handle_request(
+                    req, model, params, embedder, args.output_dir,
+                    args.mask_prob, args.batch_size,
+                )
+            except Exception as e:  # keep serving on bad requests
+                result = {
+                    "id": str(json.loads(line).get("id", "?"))
+                    if line.startswith("{") else "?",
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            out_f.write(json.dumps(result) + "\n")
+            out_f.flush()
+    finally:
+        if args.input:
+            in_f.close()
+        if args.output:
+            out_f.close()
+
+
+if __name__ == "__main__":
+    main()

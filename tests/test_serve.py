@@ -1,0 +1,36 @@
+"""Serving CLI: JSONL in -> JSONL out, with error isolation."""
+
+import json
+
+from tests.test_cli import TINY, tiny_ckpt  # noqa: F401  (fixture reuse)
+
+
+def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
+    from protein_redesign_tpu.cli.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        json.dumps({
+            "id": "a", "protein": "ACDEFGHIKL", "ligand": "CCO",
+            "num_samples": 2, "seed": 1,
+        }) + "\n"
+        + json.dumps({"id": "bad", "protein": "ACDE#@!", "ligand": "CCO"})
+        + "\n"
+    )
+    out = tmp_path / "results.jsonl"
+    main([
+        "-c", str(tiny_ckpt), "-o", str(tmp_path / "srv"),
+        "--num_steps", "2",
+        "--input", str(reqs), "--output", str(out),
+    ])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 2
+    ok = lines[0]
+    assert ok["id"] == "a"
+    assert len(ok["sequences"]) == 2
+    assert len(ok["tmscores"]) == 2
+    for p in ok["pdb_files"]:
+        assert open(p).read().startswith("ATOM")
+    bad = lines[1]
+    assert bad["id"] == "bad"
+    assert "error" in bad
