@@ -181,6 +181,9 @@ class SamplingRunner:
         batch_size: int = 1,
         mask_prob: Optional[float] = None,
         mesh=None,
+        sampler: str = "ddpm",
+        ddim_steps: int = 50,
+        eta: float = 0.0,
     ):
         """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
         sharded over the 'data' axis and params replicated — data-parallel
@@ -198,9 +201,19 @@ class SamplingRunner:
             self.params = jax.device_put(params, replicated(mesh))
         else:
             self.params = params
-        self._jit = jax.jit(
-            lambda p, b, k: model.sample(p, b, k, mask_prob=self.mask_prob)
-        )
+        if sampler == "ddim":
+            self._jit = jax.jit(
+                lambda p, b, k: model.sample_ddim(
+                    p, b, k, ddim_steps=ddim_steps, eta=eta,
+                    mask_prob=self.mask_prob,
+                )
+            )
+        elif sampler == "ddpm":
+            self._jit = jax.jit(
+                lambda p, b, k: model.sample(p, b, k, mask_prob=self.mask_prob)
+            )
+        else:
+            raise ValueError(f"Unknown sampler: {sampler}")
 
     def _put_batch(self, batch):
         if self.mesh is None:

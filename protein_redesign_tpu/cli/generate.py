@@ -32,6 +32,12 @@ def main(argv=None):
     parser.add_argument("-l", "--ligand", type=str, required=True)
     parser.add_argument("-n", "--num_samples", type=int, required=True)
     parser.add_argument("-r", "--ref_path", type=Path)
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim"),
+                        help="ddim: accelerated sampling over a subsequence "
+                             "of the trained schedule (new capability)")
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--eta", type=float, default=0.0)
     args = parser.parse_args(argv)
 
     import jax
@@ -77,7 +83,8 @@ def main(argv=None):
     )
 
     runner = SamplingRunner(
-        model, params, batch_size=args.batch_size, mask_prob=args.mask_prob
+        model, params, batch_size=args.batch_size, mask_prob=args.mask_prob,
+        sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
     )
     key = jax.random.PRNGKey(args.seed)
     results = runner.run([data] * args.num_samples, key)

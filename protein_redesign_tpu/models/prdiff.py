@@ -454,3 +454,79 @@ class ProteinReDiffModel:
         )
         pos = nanometre_to_angstrom(z_final)
         return pos, residue_mask[..., None] * seq_pred_last
+
+    def sample_ddim(
+        self,
+        params: Any,
+        batch: Batch,
+        key: jax.Array,
+        ddim_steps: int = 50,
+        eta: float = 0.0,
+        mask_prob: Optional[float] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """DDIM sampler (Song et al. 2021) over a ``ddim_steps``-long
+        subsequence of the trained schedule — an acceleration capability
+        beyond the reference, which can only re-granularize the beta
+        schedule via its num_steps override (`generate.py:103-105`).
+        eta=0 is deterministic given the key-driven initialization."""
+        cfg = self.cfg
+        sched = self.schedule
+        T = cfg.num_steps
+        k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
+        batch = self.prepare_batch(
+            batch, k_prep, training=False, mask_prob=mask_prob
+        )
+        x = batch["x"]
+        mask = batch["residue_and_atom_mask"]
+        residue_mask = batch["residue_mask"]
+        seq = batch["residue_one_hot"]
+        extra = batch["residue_extra_mask"][..., None]
+        inv = batch["residue_inv_extra_mask"][..., None]
+        B = x.shape[0]
+
+        z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
+        s0 = remove_mean(
+            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+        )
+        s0 = extra * seq + inv * s0
+
+        # Descending timestep subsequence tau_0 > tau_1 > ... > tau_{S-1}=0,
+        # with alpha_bar_prev at the final step = 1 (x0 endpoint).
+        taus = jnp.linspace(T - 1, 0, ddim_steps).round().astype(jnp.int32)
+        taus_prev = jnp.concatenate([taus[1:], jnp.array([-1])])
+
+        def step(carry, inp):
+            z_t, seq_t, _ = carry
+            tau, tau_prev, k = inp
+            t = jnp.broadcast_to(tau, (B,))
+            noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+            a_t = sched.alphas_cumprod[tau]
+            a_prev = jnp.where(
+                tau_prev < 0, 1.0, sched.alphas_cumprod[jnp.maximum(tau_prev, 0)]
+            )
+            x0_pred = (
+                z_t - jnp.sqrt(1.0 - a_t) * noise_pred
+            ) / jnp.sqrt(a_t)
+            x0_pred = remove_mean(x0_pred, mask)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+                * jnp.sqrt(1.0 - a_t / a_prev)
+            )
+            dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
+            noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
+            z_next = (
+                jnp.sqrt(a_prev) * x0_pred
+                + dir_coeff * noise_pred
+                + sigma * noise
+            )
+            seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
+            return (z_next, seq_next, seq_pred), None
+
+        keys = jax.random.split(k_scan, ddim_steps)
+        seq_pred0 = jnp.zeros_like(s0)
+        (z_final, _, seq_pred_last), _ = jax.lax.scan(
+            step, (z0, s0, seq_pred0), (taus, taus_prev, keys)
+        )
+        pos = nanometre_to_angstrom(z_final)
+        return pos, residue_mask[..., None] * seq_pred_last
