@@ -55,6 +55,8 @@ class ModelConfig:
     param_dtype: str = "float32"   # parameter dtype
     remat: bool = True             # jax.checkpoint per FoldingBlock
     use_pallas: bool = False       # Pallas kernels for hot ops
+    fast_softmax: bool = False     # bf16 attention probabilities (serving
+                                   # speed; breaks strict fp32 parity)
 
     @property
     def num_residue_classes(self) -> int:

@@ -49,6 +49,7 @@ class TriangleAttention(nn.Module):
     num_heads: int
     mode: str  # "starting" | "ending"
     use_pallas: bool = False
+    fast_softmax: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -61,6 +62,7 @@ class TriangleAttention(nn.Module):
             mask_2d = jnp.swapaxes(mask_2d, -1, -2)
         out = GatedAttention(
             self.head_dim, self.num_heads, use_pallas=self.use_pallas,
+            fast_softmax=self.fast_softmax,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(pair, mask_2d)
         if self.mode == "ending":
@@ -151,6 +153,7 @@ class SPAttention(nn.Module):
     pair_dim: int
     num_heads: int
     use_pallas: bool = False
+    fast_softmax: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -187,7 +190,7 @@ class SPAttention(nn.Module):
         # quirk: no padding mask — padded positions are attended
         o = attention_core(
             q, k, v, mask=None, attn_bias=bias, scale=1.0,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
         ).astype(self.dtype)
         o = g * o
         o = o.reshape(o.shape[:-2] + (H * C,))
@@ -242,6 +245,7 @@ class FoldingBlock(nn.Module):
     num_heads: int
     transition_factor: int
     use_pallas: bool = False
+    fast_softmax: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -263,7 +267,7 @@ class FoldingBlock(nn.Module):
 
         single = single + GatedAttention(
             self.head_dim, self.num_heads, use_pallas=self.use_pallas,
-            name="single_attn", **kw
+            fast_softmax=self.fast_softmax, name="single_attn", **kw
         )(single, mask, attn_bias=attn_bias)
         single = single + TransitionMLP(
             self.single_dim * self.transition_factor, self.single_dim,
@@ -278,11 +282,13 @@ class FoldingBlock(nn.Module):
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "starting",
-            use_pallas=self.use_pallas, name="pair_attn_starting", **kw,
+            use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            name="pair_attn_starting", **kw,
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "ending",
-            use_pallas=self.use_pallas, name="pair_attn_ending", **kw,
+            use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            name="pair_attn_ending", **kw,
         )(pair, mask_2d)
         pair = pair + TransitionMLP(
             self.pair_dim * self.transition_factor, self.pair_dim,
@@ -315,7 +321,8 @@ class Denoiser(nn.Module):
         )(single, mask)
         single = SPAttention(
             cfg.single_dim, cfg.pair_dim, cfg.num_heads,
-            use_pallas=cfg.use_pallas, name="spa_attn", **kw,
+            use_pallas=cfg.use_pallas, fast_softmax=cfg.fast_softmax,
+            name="spa_attn", **kw,
         )(single, pair, mask)
 
         BlockStack = nn.remat(FoldingBlock) if cfg.remat else FoldingBlock
@@ -327,6 +334,7 @@ class Denoiser(nn.Module):
                 cfg.num_heads,
                 cfg.transition_factor,
                 cfg.use_pallas,
+                cfg.fast_softmax,
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)

@@ -232,6 +232,7 @@ def attention_core(
     attn_bias: Optional[jnp.ndarray],  # [..., H, N, N]
     scale: float,
     use_pallas: bool,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """Row-flatten leading dims and dispatch to the Pallas fused-attention
     kernel (ops/pallas_attention.py) or the einsum fallback."""
@@ -255,7 +256,7 @@ def attention_core(
         ).reshape((R, H, N, N))
     interpret = jax.default_backend() == "cpu"
     out = gated_attention_core(
-        qf, kf, vf, maskf, biasf, scale, use_pallas, interpret
+        qf, kf, vf, maskf, biasf, scale, use_pallas, interpret, fast_softmax
     )
     return out.reshape(lead + (N, H, C))
 
@@ -271,6 +272,7 @@ class GatedAttention(nn.Module):
     head_dim: int
     num_heads: int
     use_pallas: bool = False
+    fast_softmax: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -300,6 +302,7 @@ class GatedAttention(nn.Module):
         out = attention_core(
             query, key, value, mask, attn_bias,
             scale=1.0 / math.sqrt(C), use_pallas=self.use_pallas,
+            fast_softmax=self.fast_softmax,
         ).astype(self.dtype)
         out = gate * out
         out = out.reshape(out.shape[:-2] + (H * C,))

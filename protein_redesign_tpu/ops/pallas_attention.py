@@ -133,16 +133,20 @@ def _rows_attention(qt, kt, vt, mask, interpret):
     return out
 
 
-def _attention_reference(q, k, v, mask, bias, scale):
+def _attention_reference(q, k, v, mask, bias, scale, fast_softmax=False):
     """Plain einsum formulation (used for the VJP backward and as the
-    numerics reference)."""
+    numerics reference). fast_softmax keeps logits/probs in the compute
+    dtype (bf16) — halves the dominant HBM traffic at serving time."""
+    acc = q.dtype if fast_softmax else jnp.float32
     logits = jnp.einsum(
-        "rihc,rjhc->rhij", q * scale, k, preferred_element_type=jnp.float32
+        "rihc,rjhc->rhij", q * scale, k, preferred_element_type=acc
     )
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        logits = logits + bias.astype(acc)
     if mask is not None:
-        logits = jnp.where(mask[:, None, None, :] < 0.5, NEG_INF, logits)
+        logits = jnp.where(
+            mask[:, None, None, :] < 0.5, jnp.asarray(NEG_INF, acc), logits
+        )
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "rhij,rjhc->rihc", probs.astype(v.dtype), v,
@@ -264,6 +268,7 @@ def gated_attention_core(
     scale: float,
     use_pallas: bool,
     interpret: bool = False,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """Dispatch between the Pallas kernel and the einsum fallback.
 
@@ -272,4 +277,4 @@ def gated_attention_core(
     """
     if use_pallas:
         return fused_attention(q, k, v, mask, bias, scale, interpret)
-    return _attention_reference(q, k, v, mask, bias, scale)
+    return _attention_reference(q, k, v, mask, bias, scale, fast_softmax)
