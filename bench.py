@@ -90,7 +90,8 @@ def main():
     for bucket, n_res in ((128, 96), (256, 200), (384, 320)):
         bench_forward(model, params, bucket, n_res)
 
-    # --- headline: full 1000-step sample wall-clock (one jitted scan)
+    # --- headline: full 1000-step sample wall-clock (one jitted scan),
+    # parity-mode numerics (f32 softmax)
     sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
     dt, out = timed_fetch(sample, params, batch, key)
     log(f"sample (compile+run): {dt:.1f} s")
@@ -100,6 +101,16 @@ def main():
     wall = min(dt1, dt2)
     log(f"sample {NUM_STEPS} steps steady-state: {wall:.2f} s "
         f"({wall / NUM_STEPS * 1e3:.2f} ms/step)")
+
+    # --- secondary: serving config (bf16 attention probabilities)
+    fast_model = ProteinReDiffModel(cfg.replace(fast_softmax=True))
+    fast_sample = jax.jit(
+        lambda p, b, k: fast_model.sample(p, b, k, mask_prob=0.3)
+    )
+    timed_fetch(fast_sample, params, batch, key)  # compile
+    fdt, _ = timed_fetch(fast_sample, params, batch, jax.random.PRNGKey(3))
+    log(f"sample {NUM_STEPS} steps (--fast_softmax serving config): "
+        f"{fdt:.2f} s ({wall / fdt:.2f}x)")
 
     print(json.dumps({
         "metric": "sample_1000step_wallclock_192nodes",

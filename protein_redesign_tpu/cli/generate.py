@@ -38,6 +38,9 @@ def main(argv=None):
                              "of the trained schedule (new capability)")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument("--fast_softmax", action="store_true",
+                        help="bf16 attention probabilities (~1.5x sampling "
+                             "speed at N=192; minor numeric deviation)")
     args = parser.parse_args(argv)
 
     import jax
@@ -59,7 +62,9 @@ def main(argv=None):
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
-    model = ProteinReDiffModel(cfg.replace(training_mode=False))
+    model = ProteinReDiffModel(cfg.replace(
+        training_mode=False, fast_softmax=args.fast_softmax
+    ))
 
     protein = load_protein_arg(args.protein)
     ligand = parse_ligand_arg(args.ligand)

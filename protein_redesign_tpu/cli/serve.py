@@ -108,6 +108,7 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--fast_softmax", action="store_true")
     parser.add_argument("--input", type=str, default=None,
                         help="JSONL request file (default: stdin)")
     parser.add_argument("--output", type=str, default=None,
@@ -119,7 +120,9 @@ def main(argv=None):
     from .generate import _load_params
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
-    model = ProteinReDiffModel(cfg.replace(training_mode=False))
+    model = ProteinReDiffModel(cfg.replace(
+        training_mode=False, fast_softmax=args.fast_softmax
+    ))
     embedder = ESMEmbedder(esm_dim=cfg.esm_dim)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
