@@ -80,6 +80,7 @@ class TriangleMultiplication(nn.Module):
 
     mode: str  # "outgoing" | "incoming"
     use_pallas: bool = False
+    fast_accum: bool = False  # bf16 einsum output (serving precision mode)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -88,6 +89,9 @@ class TriangleMultiplication(nn.Module):
         if self.mode not in ("outgoing", "incoming"):
             raise ValueError(f"Invalid mode: {self.mode}")
         D = pair.shape[-1]
+        # MXU accumulates f32 internally either way; fast_accum only lowers
+        # the materialized [N,N,D] product's dtype (halves its HBM traffic).
+        acc = self.dtype if self.fast_accum else jnp.float32
         pair = LayerNorm(affine=False, dtype=self.dtype)(pair)
         ab = mask_2d[..., None] * (
             jax.nn.sigmoid(
@@ -102,13 +106,13 @@ class TriangleMultiplication(nn.Module):
             # out[i,j,d] = sum_k a[i,k,d] * b[j,k,d]
             prod = jnp.einsum(
                 "...ikd,...jkd->...ijd", a, b,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             )
         else:
             # out[i,j,d] = sum_k a[k,i,d] * b[k,j,d]
             prod = jnp.einsum(
                 "...kid,...kjd->...ijd", a, b,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             )
         prod = LayerNorm(affine=False, dtype=self.dtype, name="ab_norm")(prod)
         out = jax.nn.sigmoid(
@@ -275,10 +279,12 @@ class FoldingBlock(nn.Module):
         )(single)
         pair = pair + OuterLinear(self.pair_dim, name="outer_linear", **kw)(single)
         pair = pair + TriangleMultiplication(
-            "outgoing", self.use_pallas, name="pair_mul_outgoing", **kw
+            "outgoing", self.use_pallas, fast_accum=self.fast_softmax,
+            name="pair_mul_outgoing", **kw
         )(pair, mask_2d)
         pair = pair + TriangleMultiplication(
-            "incoming", self.use_pallas, name="pair_mul_incoming", **kw
+            "incoming", self.use_pallas, fast_accum=self.fast_softmax,
+            name="pair_mul_incoming", **kw
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "starting",
