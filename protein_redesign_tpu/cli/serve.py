@@ -32,7 +32,6 @@ from pathlib import Path
 def handle_request(req, model, params, embedder, output_dir, default_mask_prob,
                    batch_size=1):
     import jax
-    import numpy as np
 
     from ..chem.mol import get_mol_positions, mol_to_sdf, update_mol_positions
     from ..chem.protein import protein_to_pdb_file, protein_to_sequence
@@ -42,7 +41,6 @@ def handle_request(req, model, params, embedder, output_dir, default_mask_prob,
         SamplingRunner,
         load_protein_arg,
         parse_ligand_arg,
-        predict_seq,
         update_pos,
         update_seq,
     )
