@@ -237,3 +237,63 @@ class TestProtein:
         )
         for line in text.splitlines():
             assert len(line) == 80
+
+
+class TestMol2:
+    MOL2 = """@<TRIPOS>MOLECULE
+benzene
+ 6 6 1
+SMALL
+NO_CHARGES
+
+@<TRIPOS>ATOM
+      1 C1          0.0000    1.3970    0.0000 C.ar    1  BENZ        0.0000
+      2 C2          1.2098    0.6985    0.0000 C.ar    1  BENZ        0.0000
+      3 C3          1.2098   -0.6985    0.0000 C.ar    1  BENZ        0.0000
+      4 C4          0.0000   -1.3970    0.0000 C.ar    1  BENZ        0.0000
+      5 C5         -1.2098   -0.6985    0.0000 C.ar    1  BENZ        0.0000
+      6 C6         -1.2098    0.6985    0.0000 C.ar    1  BENZ        0.0000
+@<TRIPOS>BOND
+     1    1    2 ar
+     2    2    3 ar
+     3    3    4 ar
+     4    4    5 ar
+     5    5    6 ar
+     6    6    1 ar
+"""
+
+    def test_parse_benzene(self):
+        from protein_redesign_tpu.chem.mol import mol_from_mol2
+
+        mol = mol_from_mol2(self.MOL2, is_path=False)
+        assert mol.num_atoms() == 6
+        assert mol.num_bonds() == 6
+        assert all(a.is_aromatic for a in mol.atoms)
+        assert all(a.is_in_ring for a in mol.atoms)
+        np.testing.assert_allclose(mol.positions[0], [0.0, 1.397, 0.0],
+                                   atol=1e-4)
+
+    def test_amide_and_charges(self):
+        from protein_redesign_tpu.chem.mol import mol_from_mol2
+
+        text = """@<TRIPOS>MOLECULE
+acetamide-ion
+ 4 3 1
+SMALL
+USER_CHARGES
+
+@<TRIPOS>ATOM
+      1 C1   0.0 0.0 0.0 C.3   1 LIG  0.0
+      2 C2   1.5 0.0 0.0 C.2   1 LIG  0.0
+      3 O1   2.1 1.1 0.0 O.2   1 LIG  0.0
+      4 N1   2.1 -1.2 0.0 N.am  1 LIG  -1.0
+@<TRIPOS>BOND
+     1 1 2 1
+     2 2 3 2
+     3 2 4 am
+"""
+        mol = mol_from_mol2(text, is_path=False)
+        assert mol.num_atoms() == 4
+        assert mol.atoms[3].formal_charge == -1
+        assert mol.bonds[1].order == 2
+        assert mol.bonds[2].order == 1  # amide -> single
