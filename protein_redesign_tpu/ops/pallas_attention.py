@@ -97,28 +97,47 @@ def _make_rows_kernel(RB: int, H: int):
     return kernel
 
 
+def _make_rowhead_kernel(RB: int):
+    """(row-block, head) grid: RB rows x ONE head per program, unrolled —
+    small enough to keep VMEM bounded while letting Mosaic pipeline block
+    DMAs across grid steps (the fori_loop variant serialized poorly)."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
+        for b in range(RB):
+            mask = mask_ref[b, 0]
+            q = q_ref[b, 0]
+            k = k_ref[b, 0]
+            v = v_ref[b, 0]
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            logits = jnp.where(mask[None, :] < 0.5, NEG_INF, logits)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out_ref[b, 0] = jnp.dot(
+                probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+    return kernel
+
+
 def _rows_attention(qt, kt, vt, mask, interpret):
     """No-bias masked attention via the row-blocked kernel.
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
     R, H, N, C = qt.shape
-    # RB bounded by the 16 MB scoped-VMEM budget: 4 row-blocks of
-    # [H, N, C] q/k/v/out + double buffering fits at N=512.
     RB = 1
-    for cand in (4, 2, 1):
+    for cand in (8, 4, 2, 1):
         if R % cand == 0:
             RB = cand
             break
-    grid = (R // RB,)
+    grid = (R // RB, H)
     spec_qkv = pl.BlockSpec(
-        (RB, H, N, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (RB, 1, N, C), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _make_rows_kernel(RB, H),
+        _make_rowhead_kernel(RB),
         grid=grid,
         in_specs=[
             spec_qkv, spec_qkv, spec_qkv,
-            pl.BlockSpec((RB, 1, N), lambda i: (i, 0, 0),
+            pl.BlockSpec((RB, 1, N), lambda i, h: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=spec_qkv,
