@@ -165,6 +165,24 @@ def load_protein_arg(protein: str) -> Protein:
     return protein_from_sequence(protein)
 
 
+def make_inference_mesh(num_devices: int):
+    """A 1-D data-parallel mesh over the first ``num_devices`` devices, or
+    None for the plain single-device path. The TPU-native equivalent of
+    the reference's DDP-predict device fan-out
+    (`predict_batch_strc_msk_inp.py:209-216`)."""
+    if num_devices is None or num_devices <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) < num_devices:
+        raise ValueError(
+            f"--num_devices {num_devices} requested but only "
+            f"{len(devices)} JAX devices are visible"
+        )
+    return make_mesh(devices[:num_devices], (num_devices, 1))
+
+
 class SamplingRunner:
     """Bucket-grouped replacement for ``trainer.predict``.
 
@@ -193,27 +211,36 @@ class SamplingRunner:
         self.model = model
         self.buckets = tuple(buckets)
         self.batch_size = batch_size
-        self.mask_prob = mask_prob
+        self.mask_prob = (
+            model.cfg.mask_prob if mask_prob is None else mask_prob
+        )
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import replicated
 
             self.params = jax.device_put(params, replicated(mesh))
+            # With pure data-parallel sampling, a batch smaller than the
+            # data axis would waste chips; lift the floor.
+            self.batch_size = max(batch_size, mesh.shape["data"])
         else:
             self.params = params
-        if sampler == "ddim":
-            self._jit = jax.jit(
-                lambda p, b, k: model.sample_ddim(
-                    p, b, k, ddim_steps=ddim_steps, eta=eta,
-                    mask_prob=self.mask_prob,
+        # mask_prob is a TRACED argument (not a closure constant) so one
+        # compiled program serves every masking fraction — crucial for the
+        # long-lived serve CLI where per-request retraces would cost
+        # minutes of TPU compile time each.
+        self.trace_count = 0  # incremented only when jax re-traces
+
+        def _sample(p, b, k, mp):
+            self.trace_count += 1
+            if sampler == "ddim":
+                return model.sample_ddim(
+                    p, b, k, ddim_steps=ddim_steps, eta=eta, mask_prob=mp
                 )
-            )
-        elif sampler == "ddpm":
-            self._jit = jax.jit(
-                lambda p, b, k: model.sample(p, b, k, mask_prob=self.mask_prob)
-            )
-        else:
+            return model.sample(p, b, k, mask_prob=mp)
+
+        if sampler not in ("ddpm", "ddim"):
             raise ValueError(f"Unknown sampler: {sampler}")
+        self._jit = jax.jit(_sample)
 
     def _put_batch(self, batch):
         if self.mesh is None:
@@ -224,10 +251,17 @@ class SamplingRunner:
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     def run(
-        self, datas: Sequence[Dict], key: jax.Array
+        self,
+        datas: Sequence[Dict],
+        key: jax.Array,
+        mask_prob: Optional[float] = None,
     ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Returns per-input (positions [n,3] Angstrom, seq logits [n,21]),
-        trimmed to each complex's true node count."""
+        trimmed to each complex's true node count. ``mask_prob`` overrides
+        the runner default without recompiling (traced scalar)."""
+        mp = jnp.asarray(
+            self.mask_prob if mask_prob is None else mask_prob, jnp.float32
+        )
         order = sorted(
             range(len(datas)),
             key=lambda i: pick_bucket(
@@ -240,13 +274,12 @@ class SamplingRunner:
         for start in range(0, len(order), self.batch_size):
             idxs = order[start: start + self.batch_size]
             group = [datas[i] for i in idxs]
-            pad_rows = 0
             if self.mesh is not None:
-                # Keep the sharded batch axis full (repeat the last sample).
+                # Keep the sharded batch axis full (repeat the last sample;
+                # the padded rows are dropped below — results index by idxs).
                 d_size = self.mesh.shape["data"]
                 while len(group) % d_size:
                     group.append(group[-1])
-                    pad_rows += 1
             n_max = max(d["num_atoms"] + d["num_residues"] for d in group)
             bucket = pick_bucket(n_max, self.buckets)
             batch = numeric_batch(
@@ -255,7 +288,7 @@ class SamplingRunner:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             batch = self._put_batch(batch)
             key, sub = jax.random.split(key)
-            pos, seq_logits = self._jit(self.params, batch, sub)
+            pos, seq_logits = self._jit(self.params, batch, sub, mp)
             pos = np.asarray(pos)
             seq_logits = np.asarray(seq_logits)
             for row, i in enumerate(idxs):

@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--num_workers", type=int, default=2)  # accepted, unused
+    parser.add_argument("--num_devices", "--num_gpus", type=int, default=1,
+                        dest="num_devices",
+                        help="data-parallel sampling over this many chips")
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--training_mode", action="store_true")
@@ -54,6 +57,7 @@ def main(argv=None):
     from .common import (
         SamplingRunner,
         load_protein_arg,
+        make_inference_mesh,
         parse_ligand_arg,
         update_pos,
         update_seq,
@@ -89,6 +93,7 @@ def main(argv=None):
 
     runner = SamplingRunner(
         model, params, batch_size=args.batch_size, mask_prob=args.mask_prob,
+        mesh=make_inference_mesh(args.num_devices),
         sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
     )
     key = jax.random.PRNGKey(args.seed)

@@ -25,7 +25,10 @@ def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--accelerator", type=str, default="tpu")  # accepted
     parser.add_argument("--batch_size", type=int, default=1)
-    parser.add_argument("--num_gpus", type=int, default=1)  # accepted, unused
+    parser.add_argument("--num_devices", "--num_gpus", type=int, default=1,
+                        dest="num_devices",
+                        help="data-parallel sampling over this many chips "
+                             "(the reference's DDP --num_gpus)")
     parser.add_argument("--num_workers", type=int, default=1)  # accepted
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
@@ -48,6 +51,7 @@ def main(argv=None):
     from ..utils.tmalign import run_tmalign
     from .common import (
         SamplingRunner,
+        make_inference_mesh,
         parse_ligands,
         proteins_from_fasta_with_mask,
         update_pos,
@@ -87,7 +91,8 @@ def main(argv=None):
         datas.extend([data] * args.num_samples)
 
     runner = SamplingRunner(
-        model, params, batch_size=args.batch_size, mask_prob=args.mask_prob
+        model, params, batch_size=args.batch_size, mask_prob=args.mask_prob,
+        mesh=make_inference_mesh(args.num_devices),
     )
     results = runner.run(datas, jax.random.PRNGKey(seed))
 

@@ -29,8 +29,12 @@ from operator import itemgetter
 from pathlib import Path
 
 
-def handle_request(req, model, params, embedder, output_dir, default_mask_prob,
-                   batch_size=1):
+def handle_request(req, runner, embedder, output_dir, default_mask_prob):
+    """One request through the PRE-COMPILED runner. The runner is built
+    once at startup and reused — mask_prob is a traced argument of its
+    jitted sampler, so varying it per request does not retrace (with
+    150-300 s remote TPU compiles, a per-request retrace would make the
+    server unusable)."""
     import jax
 
     from ..chem.mol import get_mol_positions, mol_to_sdf, update_mol_positions
@@ -38,7 +42,6 @@ def handle_request(req, model, params, embedder, output_dir, default_mask_prob,
     from ..data.featurize import ligand_to_data, protein_to_data
     from ..utils.tmalign import run_tmalign
     from .common import (
-        SamplingRunner,
         load_protein_arg,
         parse_ligand_arg,
         update_pos,
@@ -58,11 +61,8 @@ def handle_request(req, model, params, embedder, output_dir, default_mask_prob,
             protein, residue_esm=embedder.embed_protein(protein)
         ),
     }
-    runner = SamplingRunner(
-        model, params, batch_size=batch_size, mask_prob=mask_prob
-    )
     results = runner.run(
-        [data] * num_samples, jax.random.PRNGKey(seed)
+        [data] * num_samples, jax.random.PRNGKey(seed), mask_prob=mask_prob
     )
 
     req_dir = Path(output_dir) / req_id
@@ -106,6 +106,11 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="data-parallel sampling over this many chips")
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim"))
+    parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--fast_softmax", action="store_true")
     parser.add_argument("--input", type=str, default=None,
                         help="JSONL request file (default: stdin)")
@@ -115,6 +120,7 @@ def main(argv=None):
 
     from ..models.prdiff import ProteinReDiffModel
     from ..utils.esm import ESMEmbedder
+    from .common import SamplingRunner, make_inference_mesh
     from .generate import _load_params
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
@@ -124,6 +130,15 @@ def main(argv=None):
     embedder = ESMEmbedder(esm_dim=cfg.esm_dim)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
+    # ONE runner for the whole process: jit caches one program per padding
+    # bucket, shared across requests (mask_prob/seed vary without retrace).
+    runner = SamplingRunner(
+        model, params, batch_size=args.batch_size,
+        mask_prob=args.mask_prob,
+        mesh=make_inference_mesh(args.num_devices),
+        sampler=args.sampler, ddim_steps=args.ddim_steps,
+    )
+
     in_f = open(args.input) if args.input else sys.stdin
     out_f = open(args.output, "w") if args.output else sys.stdout
     try:
@@ -131,16 +146,18 @@ def main(argv=None):
             line = line.strip()
             if not line:
                 continue
+            req = None
             try:
                 req = json.loads(line)
                 result = handle_request(
-                    req, model, params, embedder, args.output_dir,
-                    args.mask_prob, args.batch_size,
+                    req, runner, embedder, args.output_dir, args.mask_prob
                 )
             except Exception as e:  # keep serving on bad requests
+                req_id = (
+                    req.get("id", "?") if isinstance(req, dict) else "?"
+                )
                 result = {
-                    "id": str(json.loads(line).get("id", "?"))
-                    if line.startswith("{") else "?",
+                    "id": str(req_id),
                     "error": f"{type(e).__name__}: {e}",
                 }
             out_f.write(json.dumps(result) + "\n")

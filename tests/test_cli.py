@@ -63,6 +63,20 @@ class TestGenerateCLI:
         mol = mol_from_sdf(out / "sample_ligand.sdf")
         assert mol.num_atoms() == 3
 
+    def test_num_devices_mesh(self, tiny_ckpt, tmp_path):
+        """--num_devices N wires a data-parallel mesh into the runner
+        (the reference's DDP --num_gpus, predict_batch_strc_msk_inp.py:209)."""
+        from protein_redesign_tpu.cli.generate import main
+
+        out = tmp_path / "gen_mesh"
+        main([
+            "-c", str(tiny_ckpt), "-o", str(out),
+            "-p", SEQ, "-l", "CCO", "-n", "8",
+            "--num_steps", "2", "--num_devices", "8", "--seed", "5",
+        ])
+        tmscores = (out / "sample_tmscores.txt").read_text().splitlines()
+        assert len(tmscores) == 8
+
     def test_dummy_ligand(self, tiny_ckpt, tmp_path):
         from protein_redesign_tpu.cli.generate import main
 

@@ -16,6 +16,14 @@ def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
         }) + "\n"
         + json.dumps({"id": "bad", "protein": "ACDE#@!", "ligand": "CCO"})
         + "\n"
+        # Same bucket, different mask_prob: must reuse the compiled program.
+        + json.dumps({
+            "id": "c", "protein": "ACDEFGHIKL", "ligand": "CCO",
+            "num_samples": 1, "seed": 2, "mask_prob": 0.9,
+        }) + "\n"
+        # Malformed-but-{-prefixed line: the error handler itself must not
+        # raise (round-1 bug: json.loads(line) inside except).
+        + '{"id": "broken", not json\n'
     )
     out = tmp_path / "results.jsonl"
     main([
@@ -24,7 +32,7 @@ def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
         "--input", str(reqs), "--output", str(out),
     ])
     lines = [json.loads(l) for l in out.read_text().splitlines()]
-    assert len(lines) == 2
+    assert len(lines) == 4
     ok = lines[0]
     assert ok["id"] == "a"
     assert len(ok["sequences"]) == 2
@@ -34,3 +42,8 @@ def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
     bad = lines[1]
     assert bad["id"] == "bad"
     assert "error" in bad
+    ok2 = lines[2]
+    assert ok2["id"] == "c"
+    assert len(ok2["sequences"]) == 1
+    broken = lines[3]
+    assert "error" in broken  # handler survived unparseable JSON
