@@ -10,7 +10,6 @@ PDB reader is built in so the framework has no bio dependency.
 from __future__ import annotations
 
 import dataclasses
-import re
 from pathlib import Path
 from typing import Dict, Iterable, List, Tuple, Union
 
@@ -140,57 +139,66 @@ def protein_from_pdb_file(pdb_path: Union[str, Path]) -> Protein:
 
 
 def proteins_from_pdb_file(pdb_path: Union[str, Path]) -> List[Protein]:
-    """Split a multi-model PDB into per-model proteins (reference
-    `protein.py:110-121`)."""
+    """Split a multi-model PDB into per-model proteins (same contract as
+    reference `protein.py:110-121`). Line-scanning: MODEL opens a fresh
+    buffer, ENDMDL flushes it; a plain single-model file (no MODEL/ENDMDL
+    records) yields one protein."""
+    proteins: List[Protein] = []
+    buffered: List[str] = []
+
+    def flush() -> None:
+        block = "\n".join(buffered)
+        buffered.clear()
+        if block.strip():
+            proteins.append(protein_from_pdb_string(block))
+
     with open(pdb_path, "r") as f:
-        pdb_str = f.read()
-    proteins = []
-    for s in re.split(r"ENDMDL.+?\n", pdb_str):
-        if s == "":
-            continue
-        m = re.match(r"MODEL.+?\n", s)
-        if m is not None:
-            s = s[m.end():]
-        if not s.strip():
-            continue
-        proteins.append(protein_from_pdb_string(s))
+        for raw in f:
+            record = raw[:6].rstrip()
+            if record == "MODEL":
+                buffered.clear()
+            elif record == "ENDMDL":
+                flush()
+            else:
+                buffered.append(raw.rstrip("\n"))
+    flush()
     return proteins
 
 
+def _atom_record(
+    serial: int, atom: str, res3: str, chain: str, seq: int,
+    xyz: np.ndarray,
+) -> str:
+    """One fixed-column ATOM line (PDB v3.3 columns; altloc/icode blank,
+    occupancy 1.00, B-factor 0.00, element = first character of the atom
+    name, charge blank, padded to 80 columns). Byte-identical to the
+    reference writer's output (`protein.py:124-156`)."""
+    name4 = atom if len(atom) == 4 else f" {atom:<3}"
+    coords = "".join(f"{float(c):8.3f}" for c in xyz)
+    return (
+        f"ATOM  {serial:5d} {name4} {res3} {chain}{seq:4d}    "
+        f"{coords}  1.00  0.00          {atom[0]:>2}  "
+    ).ljust(80)
+
+
 def protein_to_pdb_string(prot: Protein) -> str:
-    """Serialize; formatting matches the reference writer byte-for-byte
-    (`protein.py:124-156`)."""
-    pdb_lines = []
-    atom_index = 1
-    for i in range(prot.chain_index.shape[0]):
-        chain_id = PDB_CHAIN_IDS[prot.chain_index[i]]
-        residue_index = prot.residue_index[i]
-        residue_name = RESIDUE_NAMES[prot.aatype[i]]
-        for pos, mask, atom_name in zip(
-            prot.atom_pos[i], prot.atom_mask[i], RESIDUE_ATOMS
-        ):
-            if mask < 0.5:
-                continue
-            record_type = "ATOM"
-            alt_loc = ""
-            insertion_code = ""
-            occupancy = 1.0
-            bfactor = 0.0
-            element = atom_name[0]
-            if len(atom_name) < 4:
-                atom_name = " " + atom_name.ljust(3)
-            charge = ""
-            pdb_lines.append(
-                f"{record_type:<6}{atom_index:>5} {atom_name}{alt_loc:>1}"
-                f"{residue_name:>3} {chain_id:>1}"
-                f"{residue_index:>4}{insertion_code:>1}   "
-                f"{pos[0]:>8.3f}{pos[1]:>8.3f}{pos[2]:>8.3f}"
-                f"{occupancy:>6.2f}{bfactor:>6.2f}          "
-                f"{element:>2}{charge:>2}"
+    """Serialize to PDB text; one ATOM record per unmasked atom slot, in
+    residue-major 37-slot order, with serials numbered from 1."""
+    lines: List[str] = []
+    for i, aa in enumerate(prot.aatype):
+        present = np.flatnonzero(prot.atom_mask[i] >= 0.5)
+        for slot in present:
+            lines.append(
+                _atom_record(
+                    serial=len(lines) + 1,
+                    atom=RESIDUE_ATOMS[slot],
+                    res3=RESIDUE_NAMES[aa],
+                    chain=PDB_CHAIN_IDS[prot.chain_index[i]],
+                    seq=int(prot.residue_index[i]),
+                    xyz=prot.atom_pos[i, slot],
+                )
             )
-            atom_index += 1
-    pdb_lines = [line.ljust(80) for line in pdb_lines]
-    return "\n".join(pdb_lines) + "\n"
+    return "\n".join(lines) + "\n"
 
 
 def protein_to_pdb_file(prot: Protein, pdb_path: Union[str, Path]) -> None:
@@ -212,23 +220,21 @@ def proteins_to_pdb_file(
 
 
 def protein_from_sequence(sequence: str) -> Protein:
-    """Sequence string (with ``X`` masks) -> CA-only zero-coordinate protein
-    (reference `protein.py:177-191`)."""
-    aatype = np.array(
-        [RESIDUE_TYPE_INDEX[s] for s in sequence], dtype=np.int64
+    """Sequence string (with ``X`` masks, aatype -1) -> single-chain,
+    CA-only, zero-coordinate protein (same contract as reference
+    `protein.py:177-191`)."""
+    n = len(sequence)
+    aatype = np.fromiter(
+        (RESIDUE_TYPE_INDEX[s] for s in sequence), dtype=np.int64, count=n
     )
-    N = len(aatype)
-    chain_index = np.zeros((N,), dtype=np.int64)
-    residue_index = np.arange(N, dtype=np.int64)
-    atom_pos = np.zeros((N, NUM_RESIDUE_ATOMS, 3), dtype=np.float32)
-    atom_mask = np.zeros((N, NUM_RESIDUE_ATOMS), dtype=np.float32)
-    atom_mask[:, 1] = 1.0  # CA
+    ca_mask = np.zeros((n, NUM_RESIDUE_ATOMS), dtype=np.float32)
+    ca_mask[:, RESIDUE_ATOM_INDEX["CA"]] = 1.0
     return Protein(
-        chain_index=chain_index,
-        residue_index=residue_index,
+        chain_index=np.zeros(n, dtype=np.int64),
+        residue_index=np.arange(n, dtype=np.int64),
         aatype=aatype,
-        atom_pos=atom_pos,
-        atom_mask=atom_mask,
+        atom_pos=np.zeros((n, NUM_RESIDUE_ATOMS, 3), dtype=np.float32),
+        atom_mask=ca_mask,
     )
 
 
