@@ -87,8 +87,17 @@ def main():
     key = jax.random.PRNGKey(0)
     params = model.init_params(key, batch)
 
-    for bucket, n_res in ((128, 96), (256, 200), (384, 320)):
+    for bucket, n_res in ((128, 96), (256, 200), (384, 320), (512, 420)):
         bench_forward(model, params, bucket, n_res)
+
+    # --- head_dim 64 data point (docs/SCALING.md: the 16-wide per-head
+    # contraction uses 12.5% of the 128-wide MXU; head_dim 64 is the
+    # recommended config for new trainings — substantiate with a number).
+    cfg_h64 = cfg.replace(head_dim=64)
+    model_h64 = ProteinReDiffModel(cfg_h64)
+    params_h64 = model_h64.init_params(key, batch)
+    bench_forward(model_h64, params_h64, 384, 320)
+    del params_h64
 
     # --- headline: full 1000-step sample wall-clock (one jitted scan),
     # parity-mode numerics (f32 softmax)

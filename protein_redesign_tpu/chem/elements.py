@@ -49,3 +49,21 @@ DEFAULT_VALENCES = {
 
 # Elements that participate in our (heuristic) aromaticity perception.
 AROMATIC_CANDIDATES = {5, 6, 7, 8, 15, 16, 33, 34}
+
+# Valence-shell electron counts (periodic-table group), used by the
+# conjugation perception's available pi/lone-pair electron count.
+N_OUTER_ELECS = {
+    1: 1,               # H
+    5: 3,               # B
+    6: 4,               # C
+    7: 5,               # N
+    8: 6,               # O
+    9: 7,               # F
+    14: 4,              # Si
+    15: 5,              # P
+    16: 6,              # S
+    17: 7,              # Cl
+    34: 6,              # Se
+    35: 7,              # Br
+    53: 7,              # I
+}

@@ -31,6 +31,7 @@ from .elements import (
     AROMATIC_CANDIDATES,
     ATOMIC_NUM,
     DEFAULT_VALENCES,
+    N_OUTER_ELECS,
     symbol_of,
 )
 
@@ -336,7 +337,13 @@ class Molecule:
             # with two aromatic bonds) still gets an H; the 1.5-sum rounds
             # handle it: e.g. pyrrole N: 2*1.5 = 3.0 -> 0 H is wrong, but
             # SMILES marks it [nH] explicitly; Kekulé inputs sum to 2 -> 1 H.
-            bond_sum = int(round(bond_sum))
+            # Aromatic group-16 members (furan O, thiophene S) donate a lone
+            # pair to the ring: their Kekule structure has two SINGLE ring
+            # bonds (valence 2), not the 3 the 1.5-sum would round to.
+            if atom.is_aromatic and atom.atomic_num in (8, 16, 34):
+                bond_sum = self.degree(i)
+            else:
+                bond_sum = int(round(bond_sum))
             charge_adj = atom.formal_charge
             if atom.atomic_num in (7, 15):  # N+, P+ gain a valence
                 effective = [v + charge_adj for v in valences]
@@ -354,49 +361,95 @@ class Molecule:
             atom.num_implicit_hs = max(0, nh - atom.num_radical_electrons)
 
     def _assign_hybridization(self) -> None:
+        """Orbital-count hybridization (RDKit ``calcHybridization``
+        semantics — the reference featurizer's source, `features.py:84`):
+        sigma frameworks (total degree) plus lone pairs derived from
+        valence-shell electrons minus bonding electrons minus charge and
+        radicals, then 2 -> SP, 3 -> SP2, 4 -> SP3, 5 -> SP3D,
+        6 -> SP3D2. Notable consequences matching RDKit: amide/amine N is
+        SP3, sulfoxide/sulfone S is SP3, pyrrole N is SP2 (its lone pair
+        sits in the aromatic pi system), halogens and water O are SP3."""
         for i, atom in enumerate(self.atoms):
-            orders = [self.bonds[bi] for bi in self.adjacency()[i]]
-            n_triple = sum(1 for b in orders if b.order == BOND_ORDER_TRIPLE)
-            n_double = sum(
-                1 for b in orders
-                if b.order == BOND_ORDER_DOUBLE and not b.is_aromatic
-            )
-            if atom.atomic_num == 1:
+            outer = N_OUTER_ELECS.get(atom.atomic_num)
+            if atom.atomic_num == 1 or outer is None:
                 atom.hybridization = "misc"
-            elif n_triple > 0 or n_double >= 2:
-                atom.hybridization = "SP"
-            elif n_double == 1 or atom.is_aromatic:
+                continue
+            if atom.is_aromatic:
+                # Ring members are SP2 regardless of lone-pair count (the
+                # donated pair sits in the pi system): pyrrole N, furan O,
+                # thiophene S all report SP2 in RDKit.
                 atom.hybridization = "SP2"
-            else:
-                total = self.degree(i) + atom.num_implicit_hs
-                if total > 6:
-                    atom.hybridization = "misc"
-                elif total > 5:
-                    atom.hybridization = "SP3D2"
-                elif total > 4:
-                    atom.hybridization = "SP3D"
-                else:
-                    atom.hybridization = "SP3"
+                continue
+            bond_order_sum = sum(
+                self.bonds[bi].value() for bi in self.adjacency()[i]
+            )
+            # Explicit-H bonds are already in bond_order_sum; add implicit.
+            total_valence = (
+                int(round(bond_order_sum)) + atom.num_implicit_hs
+            )
+            lone_electrons = max(
+                0,
+                outer - total_valence - atom.formal_charge
+                - atom.num_radical_electrons,
+            )
+            norbs = self.total_degree(i) + lone_electrons // 2
+            atom.hybridization = {
+                2: "SP", 3: "SP2", 4: "SP3", 5: "SP3D", 6: "SP3D2",
+            }.get(norbs, "misc")
 
     def _assign_conjugation(self) -> None:
-        def has_pi(i: int) -> bool:
+        """Bond conjugation with RDKit ``MolOps::setConjugation`` semantics
+        (the reference featurizer's is_conjugated source, `features.py:58`):
+        each 2-3-coordinate "candidate" atom holding a multiple/aromatic
+        bond marks that bond AND a neighboring bond conjugated when the
+        neighbor's far atom is itself a candidate. Candidate = aromatic, or
+        a first-two-row atom with available pi/lone-pair electrons.
+
+        Reproduces: amide/ester/acid C-X + C=O, butadiene's central single
+        bond, styrene's vinyl, carboxylate, aromatic rings. Leaves
+        unconjugated: isolated C=C / C=O / C#N, sulfoxide S=O, and
+        P/S lone-pair "donors" (RDKit's Issue211 first-two-rows rule)."""
+        adj = self.adjacency()
+
+        def pi_lp_electrons(i: int) -> int:
+            # RDKit MolOps::countAtomElec: default valence + lone-pair
+            # electrons - total degree; -1 for univalent or >3-coordinate.
             a = self.atoms[i]
-            if a.is_aromatic or a.hybridization in ("SP", "SP2"):
-                return True
-            # Lone-pair donors adjacent to pi systems count in RDKit; we
-            # approximate with heteroatoms bearing a lone pair.
-            return a.atomic_num in (7, 8, 16) and a.formal_charge <= 0
+            valences = DEFAULT_VALENCES.get(a.atomic_num)
+            if not valences or valences[0] <= 1:
+                return -1
+            degree = self.total_degree(i)
+            if degree > 3:
+                return -1
+            outer = N_OUTER_ELECS.get(a.atomic_num)
+            if outer is None:
+                return -1
+            lone_pair_e = outer - valences[0] - a.formal_charge
+            return valences[0] + lone_pair_e - degree
+
+        def is_candidate(i: int) -> bool:
+            a = self.atoms[i]
+            return a.is_aromatic or (
+                a.atomic_num <= 10 and pi_lp_electrons(i) > 0
+            )
 
         for b in self.bonds:
-            if b.is_aromatic:
-                b.is_conjugated = True
+            b.is_conjugated = b.is_aromatic
+        for i in range(len(self.atoms)):
+            if not (2 <= self.total_degree(i) <= 3) or not is_candidate(i):
                 continue
-            if has_pi(b.a1) and has_pi(b.a2):
-                a1h = self.atoms[b.a1].hybridization in ("SP", "SP2")
-                a2h = self.atoms[b.a2].hybridization in ("SP", "SP2")
-                b.is_conjugated = a1h or a2h
-            else:
-                b.is_conjugated = False
+            for bi in adj[i]:
+                b1 = self.bonds[bi]
+                if not (b1.is_aromatic or b1.order >= 2):
+                    continue
+                for bj in adj[i]:
+                    if bj == bi:
+                        continue
+                    b2 = self.bonds[bj]
+                    far = b2.a2 if b2.a1 == i else b2.a1
+                    if is_candidate(far):
+                        b1.is_conjugated = True
+                        b2.is_conjugated = True
 
     # ------------------------------------------------------------ topological
     def distance_matrix(self) -> np.ndarray:
