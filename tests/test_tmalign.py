@@ -129,3 +129,137 @@ class TestTMalign:
         q = helix_protein(64, seed=3, noise=0.2)
         tm, _, _ = run_tmalign(q, p)
         assert 0.5 < tm <= 1.0
+
+
+def tm_score_identity(prb_ca, ref_ca, L_norm, d0=None):
+    """TM-score of the identity correspondence under centroid-aligned
+    identity rotation — the exact expected value for a uniformly scaled
+    copy, where Kabsch gives R = I by symmetry."""
+    if d0 is None:
+        d0 = max(1.24 * np.cbrt(L_norm - 15.0) - 1.8, 0.5)
+    a = prb_ca - prb_ca.mean(0)
+    b = ref_ca - ref_ca.mean(0)
+    d = np.linalg.norm(a - b, axis=-1)
+    return float(np.sum(1.0 / (1.0 + (d / d0) ** 2)) / L_norm)
+
+
+class TestTMalignConformance:
+    """Golden pins of the Zhang TM-score contract
+    (`/root/reference/ProteinReDiff/tmalign.py:23-49` consumes TM2)."""
+
+    def test_tm2_normalized_by_reference_length(self):
+        """A perfectly-superposable 30-mer fragment of a 60-mer: every
+        aligned pair contributes exactly 1, so TM2 = 30/L(ref) — the
+        normalization golden. Swapping the arguments flips it to 1.0."""
+        p = helix_protein(60)
+        import dataclasses
+
+        frag = dataclasses.replace(
+            p,
+            chain_index=p.chain_index[:30],
+            residue_index=p.residue_index[:30],
+            aatype=p.aatype[:30],
+            atom_pos=p.atom_pos[:30],
+            atom_mask=p.atom_mask[:30],
+        )
+        tm, _, _ = run_tmalign(frag, p)
+        assert tm == pytest.approx(30 / 60, abs=0.01)
+        tm_swapped, _, _ = run_tmalign(p, frag)
+        assert tm_swapped == pytest.approx(1.0, abs=0.01)
+
+    def test_d0_formula_golden(self):
+        """Uniformly scaled copy: optimal rotation is the identity (Kabsch
+        on c*X vs X), so the score is analytic in d0(L). Asserts the
+        binary's d0 matches 1.24*(L-15)^(1/3) - 1.8 and would reject a
+        d0 off by 10%."""
+        p = helix_protein(60)
+        import dataclasses
+
+        q = dataclasses.replace(
+            p, atom_pos=(p.atom_pos * 1.05).astype(np.float32)
+        )
+        tm, _, _ = run_tmalign(q, p)
+        expected = tm_score_identity(
+            q.atom_pos[:, 1], p.atom_pos[:, 1], 60
+        )
+        assert tm == pytest.approx(expected, abs=0.02)
+        for factor in (0.9, 1.1):
+            d0_wrong = factor * (1.24 * np.cbrt(60 - 15.0) - 1.8)
+            wrong = tm_score_identity(
+                q.atom_pos[:, 1], p.atom_pos[:, 1], 60, d0=d0_wrong
+            )
+            assert abs(tm - expected) < abs(tm - wrong)
+
+    def test_d0_floor_small_protein(self):
+        """L <= 21 drives the raw formula below 0.5; the floor d0 = 0.5
+        applies (Zhang TMalign behavior)."""
+        p = helix_protein(18)
+        import dataclasses
+
+        q = dataclasses.replace(
+            p, atom_pos=(p.atom_pos * 1.03).astype(np.float32)
+        )
+        tm, _, _ = run_tmalign(q, p)
+        expected_floor = tm_score_identity(
+            q.atom_pos[:, 1], p.atom_pos[:, 1], 18, d0=0.5
+        )
+        raw_d0 = 1.24 * np.cbrt(18 - 15.0) - 1.8  # negative
+        assert raw_d0 < 0.5
+        assert tm == pytest.approx(expected_floor, abs=0.03)
+
+    def test_multichain_reads_first_chain(self, tmp_path):
+        """TMalign default contract: only the first chain of the first
+        model is read. A two-chain file (helix + random-walk chain B)
+        must align to the bare helix with TM ~ 1."""
+        import dataclasses
+
+        from protein_redesign_tpu.chem.protein import (
+            protein_from_pdb_file,
+            protein_to_pdb_file,
+        )
+
+        helix = helix_protein(40)
+        rng = np.random.RandomState(3)
+        steps = rng.randn(40, 3)
+        steps = 3.8 * steps / np.linalg.norm(steps, axis=-1, keepdims=True)
+        walk_pos = np.zeros((40, 37, 3), np.float32)
+        walk_pos[:, 1] = np.cumsum(steps, axis=0)
+        two_chain = Protein(
+            chain_index=np.concatenate([np.zeros(40), np.ones(40)]).astype(
+                np.int64
+            ),
+            residue_index=np.concatenate(
+                [np.arange(40), np.arange(40)]
+            ).astype(np.int64),
+            aatype=np.concatenate([helix.aatype, helix.aatype]),
+            atom_pos=np.concatenate([helix.atom_pos, walk_pos]),
+            atom_mask=np.concatenate([helix.atom_mask, helix.atom_mask]),
+        )
+        pdb = tmp_path / "two_chain.pdb"
+        protein_to_pdb_file(two_chain, pdb)
+        # Round-trips through the parser with both chains intact...
+        parsed = protein_from_pdb_file(pdb)
+        assert set(parsed.chain_index.tolist()) == {0, 1}
+        # ...but TMalign scores only chain A.
+        tm, _, _ = run_tmalign(two_chain, helix)
+        assert tm == pytest.approx(1.0, abs=5e-3)
+
+    def test_multimodel_reads_first_model(self, tmp_path):
+        """Multi-model PDB (our sampler's output format): first model only."""
+        from protein_redesign_tpu.chem.protein import proteins_to_pdb_file
+        from protein_redesign_tpu.utils.tmalign import find_tmalign
+        import subprocess
+
+        helix = helix_protein(40)
+        q = helix_protein(40, seed=5, noise=4.0)
+        multi = tmp_path / "multi.pdb"
+        ref = tmp_path / "ref.pdb"
+        proteins_to_pdb_file([helix, q], multi)
+        from protein_redesign_tpu.chem.protein import protein_to_pdb_file
+
+        protein_to_pdb_file(helix, ref)
+        out = subprocess.check_output(
+            [find_tmalign(), str(multi), str(ref), "-outfmt", "2"]
+        ).decode()
+        tm2 = float(out.splitlines()[1].split()[3])
+        assert tm2 == pytest.approx(1.0, abs=5e-3)  # model 1 == helix
