@@ -177,9 +177,15 @@ def main(argv=None):
             pass  # not on the main thread
     with maybe_profile(save_dir, args.profile):
         while not stop:
+            # Per-host epoch sharding (DistributedSampler semantics): each
+            # process reads only its stride of the shared permutation.
+            # Validation deliberately stays unsharded so every host reaches
+            # the same val_loss and checkpoint decisions.
             it = batches(
                 train_ds, data_cfg.batch_size, data_cfg.buckets,
                 shuffle=True, seed=train_cfg.seed, epoch=epoch, accum=accum,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index(),
             )
             it = prefetch(
                 it, size=2,

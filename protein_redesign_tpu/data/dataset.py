@@ -137,12 +137,27 @@ def iterate_batches(
     seed: int = 0,
     drop_last: bool = False,
     epoch: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Iterator[List[Mapping[str, Any]]]:
-    """Yield lists of samples; deterministic order from (seed, epoch)."""
+    """Yield lists of samples; deterministic order from (seed, epoch).
+
+    Multi-host training shards the epoch per process (num_shards =
+    jax.process_count(), shard_index = jax.process_index()): every host
+    computes the same global permutation, then reads only its strided
+    slice — DistributedSampler semantics (what the reference's Lightning
+    DDP provided implicitly, `train.py:38`), wrapped-padded so all shards
+    yield the same number of samples and the hosts stay in lockstep.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         rng = np.random.RandomState((seed * 100003 + epoch) % (2**31 - 1))
         rng.shuffle(order)
+    if num_shards > 1:
+        pad = (-len(order)) % num_shards
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        order = order[shard_index::num_shards]
     batch: List[Mapping[str, Any]] = []
     for idx in order:
         batch.append(dataset[int(idx)])

@@ -28,15 +28,18 @@ def batches(
     epoch: int = 0,
     accum: int = 1,
     drop_last: bool = False,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Collated numeric batches; with accum > 1 the leading axis becomes
-    [accum, batch, ...] for in-step gradient accumulation."""
+    [accum, batch, ...] for in-step gradient accumulation. num_shards /
+    shard_index stride the epoch per host (multi-host training)."""
     from .dataset import iterate_batches
 
     group = batch_size * accum
     for samples in iterate_batches(
         dataset, group, shuffle=shuffle, seed=seed, epoch=epoch,
-        drop_last=drop_last,
+        drop_last=drop_last, num_shards=num_shards, shard_index=shard_index,
     ):
         if len(samples) < group:
             if drop_last:

@@ -149,3 +149,61 @@ class TestPipeline:
         assert next(it) == 1
         with pytest.raises(RuntimeError):
             list(it)
+
+
+class TestEpochSharding:
+    """Per-host data sharding (DistributedSampler semantics) for
+    multi-host training (VERDICT round-1 item #10)."""
+
+    def _ds(self, n):
+        return [{"i": i} for i in range(n)]
+
+    def test_shards_partition_the_epoch(self):
+        from protein_redesign_tpu.data.dataset import iterate_batches
+
+        ds = self._ds(13)
+        seen = []
+        for shard in range(4):
+            for batch in iterate_batches(
+                ds, 2, shuffle=True, seed=3, epoch=1,
+                num_shards=4, shard_index=shard,
+            ):
+                seen.extend(s["i"] for s in batch)
+        # Wrap-padding: 13 -> 16 items, 4 per shard; every index covered.
+        assert len(seen) == 16
+        assert set(seen) == set(range(13))
+
+    def test_shards_equal_length_and_disjoint_without_padding(self):
+        from protein_redesign_tpu.data.dataset import iterate_batches
+
+        ds = self._ds(12)
+        shards = []
+        for shard in range(3):
+            items = []
+            for batch in iterate_batches(
+                ds, 2, shuffle=True, seed=0, num_shards=3, shard_index=shard,
+            ):
+                items.extend(s["i"] for s in batch)
+            shards.append(items)
+        assert all(len(s) == 4 for s in shards)
+        combined = sum(shards, [])
+        assert sorted(combined) == list(range(12))  # disjoint cover
+
+    def test_same_permutation_across_processes(self):
+        """Every host must derive the same global order from (seed, epoch)
+        so the strided slices are consistent."""
+        from protein_redesign_tpu.data.dataset import iterate_batches
+
+        ds = self._ds(10)
+        a = [s["i"] for b in iterate_batches(
+            ds, 10, shuffle=True, seed=7, epoch=2) for s in b]
+        b = [s["i"] for b in iterate_batches(
+            ds, 10, shuffle=True, seed=7, epoch=2) for s in b]
+        assert a == b
+
+    def test_single_shard_unchanged(self):
+        from protein_redesign_tpu.data.dataset import iterate_batches
+
+        ds = self._ds(5)
+        out = [s["i"] for b in iterate_batches(ds, 2) for s in b]
+        assert out == [0, 1, 2, 3, 4]
