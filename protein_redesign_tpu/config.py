@@ -54,7 +54,10 @@ class ModelConfig:
     dtype: str = "bfloat16"        # activation/compute dtype
     param_dtype: str = "float32"   # parameter dtype
     remat: bool = True             # jax.checkpoint per FoldingBlock
-    use_pallas: bool = False       # Pallas kernels for hot ops
+    use_pallas: bool = False       # Pallas fused-attention kernel (opt-in;
+    #                                measured <=0.95x of XLA at paper scale)
+    use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
+    #                                  (ops/pallas_trimul.py)
     fast_softmax: bool = False     # bf16 attention probabilities (serving
                                    # speed; breaks strict fp32 parity)
 

@@ -70,12 +70,62 @@ class TriangleAttention(nn.Module):
         return out
 
 
+class _DenseParamsOnly(nn.Module):
+    """Declares the exact kernel/bias a PRLinear->nn.Dense would, without
+    any compute — lets the fused Pallas path share one parameter tree
+    (and checkpoints) with the XLA path."""
+
+    din: int
+    features: int
+    init: str
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        from .layers import make_initializer
+
+        kernel = self.param(
+            "kernel", make_initializer(self.init),
+            (self.din, self.features), self.param_dtype,
+        )
+        bias_init = (
+            nn.initializers.ones_init()
+            if self.init == "gating"
+            else nn.initializers.zeros_init()
+        )
+        bias = self.param(
+            "bias", bias_init, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class _DenseHandle(nn.Module):
+    """Nests _DenseParamsOnly under 'Dense_0' to mirror PRLinear's tree."""
+
+    din: int
+    features: int
+    init: str
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParamsOnly(
+            self.din, self.features, self.init, self.param_dtype,
+            name="Dense_0",
+        )()
+
+
 class TriangleMultiplication(nn.Module):
     """Gated triangle multiplicative update — the O(N^3) hot op
     (reference `modules.py:246-274`).
 
-    The einsum is arranged as a d-batched matmul ([d, N, N] x [d, N, N])
-    which XLA lowers straight onto the MXU.
+    XLA path: the einsum is arranged as a d-batched matmul
+    ([d, N, N] x [d, N, N]) which XLA lowers straight onto the MXU.
+    ``use_pallas``: the WHOLE op (LN -> gated projections -> triangle
+    product -> LN -> gated out-projection) runs as one fused Pallas
+    kernel (`ops/pallas_trimul.py`), eliminating the HBM round-trips of
+    the gated [N,N,2D] activations and the f32 product; backward
+    differentiates the reference math (custom_vjp).
     """
 
     mode: str  # "outgoing" | "incoming"
@@ -89,6 +139,27 @@ class TriangleMultiplication(nn.Module):
         if self.mode not in ("outgoing", "incoming"):
             raise ValueError(f"Invalid mode: {self.mode}")
         D = pair.shape[-1]
+        if self.use_pallas:
+            from ..ops.pallas_trimul import triangle_multiply
+
+            params = {}
+            for name, dout, init in (
+                ("ab_gate", 2 * D, "gating"),
+                ("ab_proj", 2 * D, "default"),
+                ("out_gate", D, "gating"),
+                ("out_proj", D, "final"),
+            ):
+                kern, bias = _DenseHandle(
+                    D, dout, init, self.param_dtype, name=name
+                )()
+                params[f"{name}_kernel"] = kern
+                params[f"{name}_bias"] = bias
+            return triangle_multiply(
+                pair.astype(self.dtype),
+                mask_2d.astype(self.dtype),
+                params,
+                self.mode,
+            )
         # MXU accumulates f32 internally either way; fast_accum only lowers
         # the materialized [N,N,D] product's dtype (halves its HBM traffic).
         acc = self.dtype if self.fast_accum else jnp.float32
@@ -250,6 +321,7 @@ class FoldingBlock(nn.Module):
     transition_factor: int
     use_pallas: bool = False
     fast_softmax: bool = False
+    use_pallas_trimul: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -279,11 +351,11 @@ class FoldingBlock(nn.Module):
         )(single)
         pair = pair + OuterLinear(self.pair_dim, name="outer_linear", **kw)(single)
         pair = pair + TriangleMultiplication(
-            "outgoing", self.use_pallas, fast_accum=self.fast_softmax,
+            "outgoing", self.use_pallas_trimul, fast_accum=self.fast_softmax,
             name="pair_mul_outgoing", **kw
         )(pair, mask_2d)
         pair = pair + TriangleMultiplication(
-            "incoming", self.use_pallas, fast_accum=self.fast_softmax,
+            "incoming", self.use_pallas_trimul, fast_accum=self.fast_softmax,
             name="pair_mul_incoming", **kw
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
@@ -341,6 +413,7 @@ class Denoiser(nn.Module):
                 cfg.transition_factor,
                 cfg.use_pallas,
                 cfg.fast_softmax,
+                use_pallas_trimul=cfg.use_pallas_trimul,
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)
