@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--training_mode", action="store_true")
+    parser.add_argument("--require_esm", action="store_true",
+                        help="error out instead of silently using zero ESM "
+                             "embeddings when weights are unavailable")
     parser.add_argument("-c", "--ckpt_path", type=Path, required=True)
     parser.add_argument("-o", "--output_dir", type=Path, required=True)
     parser.add_argument("-p", "--protein", type=str, required=True)
@@ -80,7 +83,7 @@ def main(argv=None):
             "Too many atoms. May take a long time for sample generation."
         )
 
-    embedder = ESMEmbedder(esm_dim=cfg.esm_dim)
+    embedder = ESMEmbedder(esm_dim=cfg.esm_dim, require=args.require_esm)
     data = {
         **ligand_to_data(ligand),
         **protein_to_data(

@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--training_mode", action="store_true")
+    parser.add_argument("--require_esm", action="store_true",
+                        help="error out instead of silently using zero ESM "
+                             "embeddings when weights are unavailable")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("-c", "--ckpt_path", type=Path, required=True)
     parser.add_argument("-o", "--output_dir", type=Path, required=True)
@@ -79,7 +82,7 @@ def main(argv=None):
     else:
         ligands = parse_ligands(args.ligand_file)
 
-    embedder = ESMEmbedder(esm_dim=cfg.esm_dim)
+    embedder = ESMEmbedder(esm_dim=cfg.esm_dim, require=args.require_esm)
     datas = []
     for name, protein, ligand in zip(names, proteins, ligands):
         data = {

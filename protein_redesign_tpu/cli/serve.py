@@ -112,6 +112,9 @@ def main(argv=None):
                         choices=("ddpm", "ddim"))
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--fast_softmax", action="store_true")
+    parser.add_argument("--require_esm", action="store_true",
+                        help="error out instead of silently using zero ESM "
+                             "embeddings when weights are unavailable")
     parser.add_argument("--input", type=str, default=None,
                         help="JSONL request file (default: stdin)")
     parser.add_argument("--output", type=str, default=None,
@@ -127,7 +130,7 @@ def main(argv=None):
     model = ProteinReDiffModel(cfg.replace(
         training_mode=False, fast_softmax=args.fast_softmax
     ))
-    embedder = ESMEmbedder(esm_dim=cfg.esm_dim)
+    embedder = ESMEmbedder(esm_dim=cfg.esm_dim, require=args.require_esm)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     # ONE runner for the whole process: jit caches one program per padding

@@ -58,10 +58,15 @@ class ESMEmbedder:
     esm_dim — e.g. tiny test configs — still get matching features)."""
 
     def __init__(self, model_name: str = DEFAULT_MODEL_NAME,
-                 device: str = "cpu", esm_dim: int = ESM_DIM):
+                 device: str = "cpu", esm_dim: int = ESM_DIM,
+                 require: bool = False):
+        """``require=True`` turns the silent zero-fallback into a hard
+        error — for production serving where unconditioned designs
+        masquerading as conditioned ones are unacceptable."""
         self.model_name = model_name
         self.device = device
         self.esm_dim = esm_dim
+        self.require = require
         self._model = None
         self._tokenizer = None
         self._available: Optional[bool] = None
@@ -74,6 +79,11 @@ class ESMEmbedder:
 
     def _try_load(self) -> bool:
         if os.environ.get("PRD_DISABLE_ESM"):
+            if self.require:
+                raise RuntimeError(
+                    "--require_esm set but PRD_DISABLE_ESM is in the "
+                    "environment; unset one of them."
+                )
             return False
         try:
             import torch  # noqa: F401
@@ -87,6 +97,12 @@ class ESMEmbedder:
             ).eval()
             return True
         except Exception as e:  # offline / missing weights
+            if self.require:
+                raise RuntimeError(
+                    f"--require_esm set but ESM-2 weights are unavailable "
+                    f"({type(e).__name__}: {e}). Precompute embeddings on a "
+                    "connected host or drop --require_esm."
+                ) from e
             warnings.warn(
                 f"ESM-2 weights unavailable ({type(e).__name__}); residue_esm "
                 "features fall back to zeros. Precompute embeddings on a "

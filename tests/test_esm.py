@@ -49,3 +49,25 @@ class TestEmbedderFallback:
         prot = protein_from_sequence("ACXDE")  # X -> '<mask>' token
         out = emb.embed_protein(prot)
         assert out.shape == (5, 16)
+
+
+def test_require_esm_raises_when_unavailable(monkeypatch):
+    """--require_esm turns the silent zero-fallback into a hard error
+    (VERDICT round-1 weak item #5)."""
+    import pytest
+
+    from protein_redesign_tpu.utils.esm import ESMEmbedder
+
+    monkeypatch.setenv("PRD_DISABLE_ESM", "1")
+    emb = ESMEmbedder(esm_dim=16, require=True)
+    with pytest.raises(RuntimeError, match="require_esm"):
+        emb.embed_chain("ACDE")
+
+
+def test_default_fallback_still_zeros(monkeypatch):
+    from protein_redesign_tpu.utils.esm import ESMEmbedder
+
+    monkeypatch.setenv("PRD_DISABLE_ESM", "1")
+    emb = ESMEmbedder(esm_dim=16)
+    out = emb.embed_chain("ACDE")
+    assert out.shape == (4, 16) and (out == 0).all()
