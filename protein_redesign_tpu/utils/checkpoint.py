@@ -92,8 +92,15 @@ def load_checkpoint(
         )
         return restored["state"], cfg
 
+    # No target: build an abstract tree from the checkpoint's own metadata
+    # with CURRENT-device sharding, so checkpoints written on one platform
+    # (e.g. the TPU chip) restore on another (e.g. the CPU test mesh)
+    # instead of failing on stale saved device names.
+    item_meta = manager.item_metadata(step)["state"]
+    abstract = _abstract_from_metadata(item_meta)
     restored = manager.restore(
-        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        step,
+        args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)),
     )
     raw = restored["state"]
     state = TrainState(
@@ -125,5 +132,20 @@ def load_params_only(
     cfg_dict = json.loads((path / "config.json").read_text())
     cfg_dict.update(config_overrides)
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(path / "params")
+    # Restore onto the current platform regardless of where the checkpoint
+    # was written (see load_checkpoint).
+    abstract = _abstract_from_metadata(ckptr.metadata(path / "params"))
+    params = ckptr.restore(path / "params", abstract)
     return params, ModelConfig(**cfg_dict)
+
+
+def _abstract_from_metadata(meta: Any) -> Any:
+    """Checkpoint metadata tree -> ShapeDtypeStructs on the default device."""
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def leaf(m: Any) -> Any:
+        if hasattr(m, "shape") and hasattr(m, "dtype"):
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding)
+        return m
+
+    return jax.tree_util.tree_map(leaf, meta)
