@@ -17,10 +17,19 @@ block) runs entirely in registers/VMEM; only the final [TI,TJ,D] tile is
 written to HBM. HBM traffic drops from ~7 full passes over [N,N,*] to
 one pair read per k-tile + one output write.
 
+MEASURED OUTCOME (v5e, 2026-08, BASELINE.md): correct but SLOWER than
+XLA — 2.3x end-to-end at N=384 (74.7 vs 32.6 ms denoiser fwd). Mosaic
+cannot lower lane-splitting reshapes or 2D x 3D contractions, which
+forces (a) row-major projection + per-step [TI,TK,D]->[D,TI,TK]
+transposes and (b) the D-batched product as 64 small matmuls per grid
+step; XLA's native batched-gemm lowering of the same einsum wins at
+pair_dim 64. `use_pallas_trimul` therefore defaults OFF; the kernel is
+kept as a tested, differentiable reference for future Mosaic versions
+(the constraints, not the fusion idea, are the bottleneck).
+
 Gradients: `triangle_multiply` is a jax.custom_vjp whose backward pass
 differentiates the pure-JAX reference implementation (`_reference_impl`)
-— the kernel accelerates the forward; training still works with
-`use_pallas` enabled.
+— the kernel accelerates nothing today but trains correctly if enabled.
 """
 
 from __future__ import annotations
@@ -47,19 +56,21 @@ def _ln_lastdim(x: jnp.ndarray) -> jnp.ndarray:
 def _project_dlead(x_ln, w_gate, b_gate, w_proj, b_proj, m, cdt):
     """sigmoid(gate)*proj*mask in D-LEADING layout.
 
-    x_ln: [R, C, Din] f32; weights [Din, D]; biases [D, 1]; m: [R, C].
-    Returns [D, R, C] bf16 — batch-leading for the MXU triangle dot.
+    x_ln: [R, C, Din] f32; weights [Din, D]; biases [1, D]; m: [R, C].
+    Returns [D, R, C] — batch-leading for the MXU triangle dot. Mosaic
+    constraint: only major-collapsing reshapes and plain 2D matmuls are
+    lowerable here, so project in row-major [R*C, Din] then transpose.
     """
-    xb = x_ln.astype(cdt)
-    dn = (((0,), (2,)), ((), ()))  # contract w dim0 with x dim2 -> [D, R, C]
-    g = jax.lax.dot_general(
-        w_gate, xb, dimension_numbers=dn, preferred_element_type=jnp.float32
-    ) + b_gate[:, :1, None]
-    p = jax.lax.dot_general(
-        w_proj, xb, dimension_numbers=dn, preferred_element_type=jnp.float32
-    ) + b_proj[:, :1, None]
-    a = jax.nn.sigmoid(g) * p * m[None, :, :].astype(jnp.float32)
-    return a.astype(cdt)
+    R, C, Din = x_ln.shape
+    x2 = x_ln.astype(cdt).reshape(R * C, Din)
+    g = jnp.dot(
+        x2, w_gate, preferred_element_type=jnp.float32
+    ) + b_gate
+    p = jnp.dot(
+        x2, w_proj, preferred_element_type=jnp.float32
+    ) + b_proj
+    a = jax.nn.sigmoid(g) * p * m.reshape(R * C, 1).astype(jnp.float32)
+    return jnp.transpose(a.astype(cdt).reshape(R, C, -1), (2, 0, 1))
 
 
 def _trimul_kernel(
@@ -76,14 +87,20 @@ def _trimul_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # Mask blocks ride a trailing singleton dim ([B,N,N,1] at the wrapper)
+    # so Mosaic's lane-alignment rule sees a full last dim and the k-tile
+    # splits the 8-aligned sublane dim instead.
+    ma = ma_ref[0, :, :, 0]
+    mb = mb_ref[0, :, :, 0]
+
     # Gated projections of the two pair blocks, D-leading.
     a = _project_dlead(
         _ln_lastdim(pa_ref[0]), wga_ref[...], bga_ref[...],
-        wpa_ref[...], bpa_ref[...], ma_ref[0], cdt,
+        wpa_ref[...], bpa_ref[...], ma, cdt,
     )
     b = _project_dlead(
         _ln_lastdim(pb_ref[0]), wgb_ref[...], bgb_ref[...],
-        wpb_ref[...], bpb_ref[...], mb_ref[0], cdt,
+        wpb_ref[...], bpb_ref[...], mb, cdt,
     )
     if mode == "outgoing":
         # a: [D, TI, TK], b: [D, TJ, TK]; contract TK -> [D, TI, TJ]
@@ -101,24 +118,25 @@ def _trimul_kernel(
         mu = jnp.mean(prod, axis=0, keepdims=True)
         var = jnp.mean(jnp.square(prod - mu), axis=0, keepdims=True)
         normed = (prod - mu) * jax.lax.rsqrt(var + LN_EPS)
-        # out_core[do, i, j] = sum_d wop[d, do] * normed[d, i, j]
-        core = jax.lax.dot_general(
-            wop_ref[...], normed.astype(cdt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bop_ref[...][:, :1, None]
-        gin = _ln_lastdim(pij_ref[0]).astype(cdt)  # [TI, TJ, D]
-        gate = jax.nn.sigmoid(
-            jax.lax.dot_general(
-                wog_ref[...], gin,
-                dimension_numbers=(((0,), (2,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bog_ref[...][:, :1, None]
+        D, TI, TJ = normed.shape
+        n2 = jnp.transpose(normed.astype(cdt), (1, 2, 0)).reshape(
+            TI * TJ, D
         )
-        out_ref[0] = jnp.transpose(gate * core, (1, 2, 0)).astype(out_dtype)
+        core = jnp.dot(
+            n2, wop_ref[...], preferred_element_type=jnp.float32
+        ) + bop_ref[...]
+        gin = _ln_lastdim(pij_ref[0]).astype(cdt).reshape(TI * TJ, -1)
+        gate = jax.nn.sigmoid(
+            jnp.dot(gin, wog_ref[...], preferred_element_type=jnp.float32)
+            + bog_ref[...]
+        )
+        out_ref[0] = (gate * core).reshape(TI, TJ, -1).astype(out_dtype)
 
 
 def _pick_tile(n: int) -> int:
+    # 64 (not 128): the epilogue's [TI*TJ, D] f32 temporaries must fit the
+    # 16 MB VMEM stack alongside the accumulator and pipelined blocks —
+    # measured 36 MB at TI=128 (compile-time scoped-vmem OOM).
     if n % 128 == 0:
         return 128
     if n % 64 == 0:
@@ -142,7 +160,7 @@ def fused_triangle_multiply(
     cdt = jnp.float32 if interpret else jnp.bfloat16
     B, N, _, D = pair.shape
     TI = _pick_tile(N)
-    TK = min(TI, 64) if TI == 128 else TI  # cap k-block VMEM
+    TK = TI
     grid = (B, N // TI, N // TI, N // TK)
 
     wdt = cdt
@@ -152,28 +170,28 @@ def fused_triangle_multiply(
     bp = params["ab_proj_bias"].astype(jnp.float32)
     wga, wgb = wg[:, :D], wg[:, D:]
     wpa, wpb = wp[:, :D], wp[:, D:]
-    bga, bgb = bg[:D].reshape(D, 1), bg[D:].reshape(D, 1)
-    bpa, bpb = bp[:D].reshape(D, 1), bp[D:].reshape(D, 1)
+    bga, bgb = bg[:D].reshape(1, D), bg[D:].reshape(1, D)
+    bpa, bpb = bp[:D].reshape(1, D), bp[D:].reshape(1, D)
     wog = params["out_gate_kernel"].astype(wdt)  # [D, D]
     wop = params["out_proj_kernel"].astype(wdt)
-    bog = params["out_gate_bias"].astype(jnp.float32).reshape(D, 1)
-    bop = params["out_proj_bias"].astype(jnp.float32).reshape(D, 1)
+    bog = params["out_gate_bias"].astype(jnp.float32).reshape(1, D)
+    bop = params["out_proj_bias"].astype(jnp.float32).reshape(1, D)
 
     if mode == "outgoing":
         # out[i,j] = sum_k f(pair[i,k]) * g(pair[j,k])
         a_map = lambda b, i, j, k: (b, i, k, 0)
         b_map = lambda b, i, j, k: (b, j, k, 0)
-        ma_map = lambda b, i, j, k: (b, i, k)
-        mb_map = lambda b, i, j, k: (b, j, k)
         a_blk = (1, TI, TK, D)
     else:
         # out[i,j] = sum_k f(pair[k,i]) * g(pair[k,j])
         a_map = lambda b, i, j, k: (b, k, i, 0)
         b_map = lambda b, i, j, k: (b, k, j, 0)
-        ma_map = lambda b, i, j, k: (b, k, i)
-        mb_map = lambda b, i, j, k: (b, k, j)
         a_blk = (1, TK, TI, D)
-    m_blk = a_blk[:-1]
+    # Mask blocks mirror the pair blocks' (row, col) tiling, with a
+    # trailing singleton for lane alignment (see _trimul_kernel).
+    ma_map = lambda b, i, j, k: a_map(b, i, j, k)
+    mb_map = lambda b, i, j, k: b_map(b, i, j, k)
+    m_blk = a_blk[:-1] + (1,)
 
     def wspec(shape):
         return pl.BlockSpec(
@@ -197,9 +215,9 @@ def fused_triangle_multiply(
             ),
             pl.BlockSpec(m_blk, ma_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(m_blk, mb_map, memory_space=pltpu.VMEM),
-            wspec((D, D)), wspec((D, 1)), wspec((D, D)), wspec((D, 1)),
-            wspec((D, D)), wspec((D, 1)), wspec((D, D)), wspec((D, 1)),
-            wspec((D, D)), wspec((D, 1)), wspec((D, D)), wspec((D, 1)),
+            wspec((D, D)), wspec((1, D)), wspec((D, D)), wspec((1, D)),
+            wspec((D, D)), wspec((1, D)), wspec((D, D)), wspec((1, D)),
+            wspec((D, D)), wspec((1, D)), wspec((D, D)), wspec((1, D)),
         ],
         out_specs=pl.BlockSpec(
             (1, TI, TI, D), lambda b, i, j, k: (b, i, j, 0),
@@ -212,9 +230,12 @@ def fused_triangle_multiply(
             bytes_accessed=2 * B * N * N * N * D // TI * 2 + B * N * N * D * 4,
             transcendentals=2 * B * N * N * D,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
-        pair, pair, pair, mask_2d, mask_2d,
+        pair, pair, pair, mask_2d[..., None], mask_2d[..., None],
         wga, bga, wpa, bpa, wgb, bgb, wpb, bpb, wog, bog, wop, bop,
     )
 
