@@ -58,6 +58,13 @@ class ModelConfig:
     #                                measured <=0.95x of XLA at paper scale)
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
+    sequence_parallel: bool = False  # shard the pair tensor's first complex
+    #                                  axis over the mesh 'model' axis inside
+    #                                  the Denoiser (GSPMD inserts the
+    #                                  collectives); for N >~ 1024 where the
+    #                                  O(N^2) pair activations outgrow one
+    #                                  chip's HBM. Requires running under a
+    #                                  ('data','model') mesh context.
     fast_softmax: bool = False     # bf16 attention probabilities (serving
                                    # speed; breaks strict fp32 parity)
 

@@ -375,6 +375,18 @@ class FoldingBlock(nn.Module):
         return single, pair
 
 
+def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
+    """Sequence/context parallelism: constrain the first complex axis of a
+    [B, N, ...] activation to the mesh 'model' axis. GSPMD propagates the
+    sharding through the block and inserts the all-gathers the triangle
+    ops need over the k axis (SURVEY §5 long-context; the reference's only
+    mitigation was a warning at 384 nodes, `generate.py:127-128`)."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, "model") if x.ndim >= 2 else P()
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 class Denoiser(nn.Module):
     """OPM + SPAttention + num_blocks FoldingBlocks + symmetrization
     (reference `modules.py:346-404`)."""
@@ -405,6 +417,9 @@ class Denoiser(nn.Module):
 
         BlockStack = nn.remat(FoldingBlock) if cfg.remat else FoldingBlock
         for i in range(cfg.num_blocks):
+            if cfg.sequence_parallel:
+                pair = _shard_complex_axis(pair)
+                single = _shard_complex_axis(single)
             single, pair = BlockStack(
                 cfg.single_dim,
                 cfg.pair_dim,
@@ -417,6 +432,8 @@ class Denoiser(nn.Module):
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)
+        if cfg.sequence_parallel:
+            pair = _shard_complex_axis(pair)
 
         pair = 0.5 * (pair + jnp.swapaxes(pair, -2, -3))
         return single, pair

@@ -131,3 +131,39 @@ def test_runner_mask_prob_does_not_retrace():
     # And the traced scalar is actually live: different fractions change
     # the conditioning, hence the sampled positions.
     assert not np.allclose(r1[0][0], r2[0][0])
+
+
+def test_sequence_parallel_denoiser_matches():
+    """sequence_parallel=True shards the pair tensor's complex axis over
+    'model' (context parallelism for N >~ 1024); on a (2, 4) mesh the
+    GSPMD-partitioned forward must match the unsharded one (SURVEY §5
+    long-context — the last uncovered subsystem of round 1)."""
+    import jax.numpy as jnp
+
+    from protein_redesign_tpu.models.denoiser import Denoiser
+
+    cfg = TINY
+    rng = np.random.RandomState(2)
+    B, N = 2, 16
+    single = jnp.asarray(rng.randn(B, N, cfg.single_dim), jnp.float32)
+    pair = jnp.asarray(rng.randn(B, N, N, cfg.pair_dim), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
+
+    base = Denoiser(cfg)
+    params = base.init(jax.random.PRNGKey(0), single, pair, mask)["params"]
+    s_ref, p_ref = jax.jit(
+        lambda p: base.apply({"params": p}, single, pair, mask)
+    )(params)
+
+    mesh = make_mesh(jax.devices(), (2, 4))
+    sharded = Denoiser(cfg.replace(sequence_parallel=True))
+    with mesh:
+        s_sp, p_sp = jax.jit(
+            lambda p: sharded.apply({"params": p}, single, pair, mask)
+        )(params)
+    np.testing.assert_allclose(
+        np.asarray(s_sp), np.asarray(s_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sp), np.asarray(p_ref), atol=1e-5, rtol=1e-5
+    )
