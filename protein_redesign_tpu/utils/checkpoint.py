@@ -140,7 +140,14 @@ def load_params_only(
 
 
 def _abstract_from_metadata(meta: Any) -> Any:
-    """Checkpoint metadata tree -> ShapeDtypeStructs on the default device."""
+    """Checkpoint metadata tree -> ShapeDtypeStructs on the default device.
+
+    Accepts the raw tree, a TreeMetadata, or a StepMetadata wrapper
+    (StandardCheckpointer.metadata returns the latter)."""
+    if hasattr(meta, "item_metadata"):  # StepMetadata
+        meta = meta.item_metadata
+    if hasattr(meta, "tree"):  # TreeMetadata
+        meta = meta.tree
     sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
 
     def leaf(m: Any) -> Any:

@@ -72,3 +72,61 @@ def test_split_files_load():
     assert len(train) == 25631
     assert len(val) == 1452
     assert len(test) == 1108
+
+
+def test_predict_output_contract_matches_results_pt():
+    """The reference ships a saved inference artifact (`results.pt`: 8
+    tuples of positions [1,144,3] + sequence logits [1,144,21] for a
+    144-node complex). Our sampler's per-input output contract must match
+    it: (positions [n,3] Angstrom, logits [n,21]) per sample."""
+    torch = pytest.importorskip("torch")
+    ref = torch.load(
+        REF / "results.pt", map_location="cpu", weights_only=False
+    )
+    assert isinstance(ref, list) and len(ref) == 8
+    n_nodes = ref[0][0].shape[1]
+    assert ref[0][0].shape == (1, n_nodes, 3)
+    assert ref[0][1].shape == (1, n_nodes, 21)
+
+    import jax
+    import numpy as np
+
+    from protein_redesign_tpu.chem.mol import (
+        mol_from_smiles,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.chem.protein import protein_from_sequence
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.config import ModelConfig
+    from protein_redesign_tpu.data import (
+        collate_fn,
+        ligand_to_data,
+        protein_to_data,
+    )
+    from protein_redesign_tpu.data.collate import numeric_batch
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+    import jax.numpy as jnp
+
+    cfg = ModelConfig(
+        esm_dim=16, time_dim=8, dist_dim=8, single_dim=16, pair_dim=8,
+        head_dim=4, num_heads=2, num_blocks=1, num_steps=2,
+        dtype="float32", remat=False,
+    )
+    model = ProteinReDiffModel(cfg)
+    # A 144-node complex like the artifact's: 4-atom ligand + 140 residues.
+    mol = update_mol_positions(mol_from_smiles("CCCO"), np.zeros((4, 3)))
+    prot = protein_from_sequence("ACDEFGHIKLMNPQRSTVWY" * 7)
+    data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+    assert data["num_atoms"] + data["num_residues"] == n_nodes
+    init = {
+        k: jnp.asarray(v)
+        for k, v in numeric_batch(collate_fn([data], buckets=(192,))).items()
+    }
+    params = model.init_params(jax.random.PRNGKey(0), init)
+    runner = SamplingRunner(model, params, buckets=(192,), mask_prob=0.3)
+    results = runner.run([data] * 2, jax.random.PRNGKey(0))
+    assert len(results) == 2
+    for pos, logits in results:
+        assert pos.shape == (n_nodes, 3)       # Angstrom positions
+        assert logits.shape == (n_nodes, 21)   # residue-masked logits
+        assert pos.dtype == np.float32 and logits.dtype == np.float32
