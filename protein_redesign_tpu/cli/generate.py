@@ -29,6 +29,16 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--training_mode", action="store_true")
+    parser.add_argument("--esm_model",
+                        default="facebook/esm2_t33_650M_UR50D",
+                        help="HF model id or local path of the ESM-2 "
+                             "checkpoint (e.g. a smaller "
+                             "esm2_t12_35M_UR50D)")
+    parser.add_argument("--esm_backend", choices=["torch", "jax"],
+                        default="torch",
+                        help="run ESM-2 with HF torch on the host or "
+                             "with the in-repo JAX port on the default "
+                             "JAX platform (TPU when available)")
     parser.add_argument("--require_esm", action="store_true",
                         help="error out instead of silently using zero ESM "
                              "embeddings when weights are unavailable")
@@ -83,7 +93,10 @@ def main(argv=None):
             "Too many atoms. May take a long time for sample generation."
         )
 
-    embedder = ESMEmbedder(esm_dim=cfg.esm_dim, require=args.require_esm)
+    embedder = ESMEmbedder(model_name=args.esm_model,
+                           esm_dim=cfg.esm_dim,
+                           require=args.require_esm,
+                           backend=args.esm_backend)
     data = {
         **ligand_to_data(ligand),
         **protein_to_data(

@@ -112,6 +112,16 @@ def main(argv=None):
                         choices=("ddpm", "ddim"))
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--fast_softmax", action="store_true")
+    parser.add_argument("--esm_model",
+                        default="facebook/esm2_t33_650M_UR50D",
+                        help="HF model id or local path of the ESM-2 "
+                             "checkpoint (e.g. a smaller "
+                             "esm2_t12_35M_UR50D)")
+    parser.add_argument("--esm_backend", choices=["torch", "jax"],
+                        default="torch",
+                        help="run ESM-2 with HF torch on the host or "
+                             "with the in-repo JAX port on the default "
+                             "JAX platform (TPU when available)")
     parser.add_argument("--require_esm", action="store_true",
                         help="error out instead of silently using zero ESM "
                              "embeddings when weights are unavailable")
@@ -130,7 +140,10 @@ def main(argv=None):
     model = ProteinReDiffModel(cfg.replace(
         training_mode=False, fast_softmax=args.fast_softmax
     ))
-    embedder = ESMEmbedder(esm_dim=cfg.esm_dim, require=args.require_esm)
+    embedder = ESMEmbedder(model_name=args.esm_model,
+                           esm_dim=cfg.esm_dim,
+                           require=args.require_esm,
+                           backend=args.esm_backend)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     # ONE runner for the whole process: jit caches one program per padding

@@ -59,16 +59,24 @@ class ESMEmbedder:
 
     def __init__(self, model_name: str = DEFAULT_MODEL_NAME,
                  device: str = "cpu", esm_dim: int = ESM_DIM,
-                 require: bool = False):
+                 require: bool = False, backend: str = "torch"):
         """``require=True`` turns the silent zero-fallback into a hard
         error — for production serving where unconditioned designs
-        masquerading as conditioned ones are unacceptable."""
+        masquerading as conditioned ones are unacceptable.
+
+        ``backend``: "torch" runs the HF transformers port on the host
+        CPU/GPU; "jax" runs the in-repo JAX ESM-2 (`models/esm2.py`) on the
+        default JAX platform — on TPU the 650M embedder itself runs
+        on-chip, removing the reference's CUDA-host requirement
+        (`/root/reference/generate.py:44`)."""
         self.model_name = model_name
         self.device = device
         self.esm_dim = esm_dim
         self.require = require
+        self.backend = backend
         self._model = None
         self._tokenizer = None
+        self._jax_model = None
         self._available: Optional[bool] = None
 
     @property
@@ -86,6 +94,15 @@ class ESMEmbedder:
                 )
             return False
         try:
+            if self.backend == "jax":
+                from ..models.esm2 import load_jax_esm2
+
+                self._jax_model = load_jax_esm2(self.model_name)
+                if self._jax_model is None:
+                    raise FileNotFoundError(
+                        f"no local HF weights for {self.model_name}"
+                    )
+                return True
             import torch  # noqa: F401
             from transformers import AutoTokenizer, EsmModel
 
@@ -115,6 +132,8 @@ class ESMEmbedder:
         """[len(sequence), 1280] final-layer representations."""
         if not self.available:
             return np.zeros((len(sequence), self.esm_dim), dtype=np.float32)
+        if self.backend == "jax":
+            return self.embed_chain_masked(sequence)
         import torch
 
         inputs = self._tokenizer(sequence, return_tensors="pt")
@@ -145,13 +164,16 @@ class ESMEmbedder:
         if not self.available:
             n = _masked_len(sequence_with_mask)
             return np.zeros((n, self.esm_dim), dtype=np.float32)
-        import torch
-
         # Tokenize manually so '<mask>' stays one token.
         toks = _split_masked(sequence_with_mask)
         ids = [ESM_TOKEN_INDEX["<cls>"]] + [
             ESM_TOKEN_INDEX.get(t, ESM_TOKEN_INDEX["<unk>"]) for t in toks
         ] + [ESM_TOKEN_INDEX["<eos>"]]
+        if self.backend == "jax":
+            reps = self._jax_model(np.asarray(ids, np.int32))
+            return reps[1: len(toks) + 1]
+        import torch
+
         inputs = torch.tensor([ids])
         with torch.inference_mode():
             out = self._model(input_ids=inputs)
