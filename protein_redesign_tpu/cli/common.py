@@ -202,6 +202,8 @@ class SamplingRunner:
         sampler: str = "ddpm",
         ddim_steps: int = 50,
         eta: float = 0.0,
+        window: int = 8,
+        ptol: float = 1e-3,
     ):
         """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
         sharded over the 'data' axis and params replicated — data-parallel
@@ -215,6 +217,7 @@ class SamplingRunner:
             model.cfg.mask_prob if mask_prob is None else mask_prob
         )
         self.mesh = mesh
+        self.sampler = sampler
         if mesh is not None:
             from ..parallel.mesh import replicated
 
@@ -236,10 +239,25 @@ class SamplingRunner:
                 return model.sample_ddim(
                     p, b, k, ddim_steps=ddim_steps, eta=eta, mask_prob=mp
                 )
+            if sampler == "ddim_parallel":
+                # Picard parallel-in-time sampling (models/paratime.py):
+                # with a mesh, the WINDOW axis is what rides the 'data'
+                # axis, so keep per-program batches at batch_size.
+                from ..models.paratime import sample_ddim_parallel
+
+                pos, logits, _stats = sample_ddim_parallel(
+                    model, p, b, k, ddim_steps=ddim_steps, window=window,
+                    tol=ptol, mask_prob=mp, mesh=mesh,
+                )
+                return pos, logits
             return model.sample(p, b, k, mask_prob=mp)
 
-        if sampler not in ("ddpm", "ddim"):
+        if sampler not in ("ddpm", "ddim", "ddim_parallel"):
             raise ValueError(f"Unknown sampler: {sampler}")
+        if sampler == "ddim_parallel" and mesh is not None:
+            # The window is the parallel axis; batches stay whole per
+            # program (no batch-axis sharding).
+            self.batch_size = batch_size
         self._jit = jax.jit(_sample)
 
     def _put_batch(self, batch):
@@ -247,7 +265,10 @@ class SamplingRunner:
             return batch
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sharding = NamedSharding(self.mesh, P("data"))
+        # ddim_parallel shards the Picard WINDOW over 'data'; the sample
+        # batch itself is replicated.
+        spec = P() if self.sampler == "ddim_parallel" else P("data")
+        sharding = NamedSharding(self.mesh, spec)
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     def run(
@@ -274,7 +295,7 @@ class SamplingRunner:
         for start in range(0, len(order), self.batch_size):
             idxs = order[start: start + self.batch_size]
             group = [datas[i] for i in idxs]
-            if self.mesh is not None:
+            if self.mesh is not None and self.sampler != "ddim_parallel":
                 # Keep the sharded batch axis full (repeat the last sample;
                 # the padded rows are dropped below — results index by idxs).
                 d_size = self.mesh.shape["data"]

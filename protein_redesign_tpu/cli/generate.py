@@ -49,10 +49,18 @@ def main(argv=None):
     parser.add_argument("-n", "--num_samples", type=int, required=True)
     parser.add_argument("-r", "--ref_path", type=Path)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim"),
+                        choices=("ddpm", "ddim", "ddim_parallel"),
                         help="ddim: accelerated sampling over a subsequence "
                              "of the trained schedule (new capability)")
     parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--window", type=int, default=8,
+                        help="ddim_parallel: timesteps evaluated per "
+                             "Picard sweep (shard over chips via "
+                             "--num_devices)")
+    parser.add_argument("--ptol", type=float, default=1e-3,
+                        help="ddim_parallel: per-point convergence "
+                             "tolerance (masked RMS change, nm); 0 = "
+                             "exact sequential trajectory")
     parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--fast_softmax", action="store_true",
                         help="bf16 attention probabilities (~1.5x sampling "
@@ -111,6 +119,7 @@ def main(argv=None):
         model, params, batch_size=args.batch_size, mask_prob=args.mask_prob,
         mesh=make_inference_mesh(args.num_devices),
         sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
+        window=args.window, ptol=args.ptol,
     )
     key = jax.random.PRNGKey(args.seed)
     results = runner.run([data] * args.num_samples, key)

@@ -109,8 +109,10 @@ def main(argv=None):
     parser.add_argument("--num_devices", type=int, default=1,
                         help="data-parallel sampling over this many chips")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim"))
+                        choices=("ddpm", "ddim", "ddim_parallel"))
     parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--window", type=int, default=8)
+    parser.add_argument("--ptol", type=float, default=1e-3)
     parser.add_argument("--fast_softmax", action="store_true")
     parser.add_argument("--esm_model",
                         default="facebook/esm2_t33_650M_UR50D",
@@ -153,6 +155,7 @@ def main(argv=None):
         mask_prob=args.mask_prob,
         mesh=make_inference_mesh(args.num_devices),
         sampler=args.sampler, ddim_steps=args.ddim_steps,
+        window=args.window, ptol=args.ptol,
     )
 
     in_f = open(args.input) if args.input else sys.stdin

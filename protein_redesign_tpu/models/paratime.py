@@ -1,0 +1,205 @@
+"""Parallel-in-time diffusion sampling (Picard / ParaDiGMS-style).
+
+The reference's sampler is strictly sequential: ``num_steps`` (up to 2000)
+Python-loop denoiser forwards, one after another
+(`/root/reference/ProteinReDiff/model.py:403-420`). Beyond re-designing
+that loop as a single `lax.scan` (`prdiff.py:sample*`), this module breaks
+the *sequential dependency itself*: a sliding-window Picard fixed-point
+iteration over the DDIM trajectory evaluates the denoiser at many
+timesteps simultaneously — trading parallel FLOPs (extra chips, or a
+single chip's unused batch dimension) for wall-clock latency. Technique:
+"Parallel Sampling of Diffusion Models" (Shih et al., 2023) /
+"Accelerating Parallel Sampling of Diffusion Models" (PAPERS.md),
+re-derived here for the joint coordinate+sequence state.
+
+Math. With ``a_i = alphas_cumprod[tau_i]`` and the change of variables
+``y_i = z_i / sqrt(a_i)``, ``gamma_i = sqrt((1 - a_i) / a_i)``, the
+deterministic (eta=0) DDIM coordinate update is the explicit sum
+
+    y_{i+1} = y_i + (gamma_{i+1} - gamma_i) * eps(z_i, seq_i, tau_i)
+
+(equivalent to `prdiff.py:sample_ddim`'s x0/direction form: divide that
+update by sqrt(a_{i+1}); remove_mean is a mathematical no-op because the
+equivariant readout already returns mean-free eps and z_0 is mean-free).
+The sequence state is the reference's "last prediction wins" recurrence
+``seq_{i+1} = softmax(seq_pred_i)*2 - 1`` (`model.py:414`). A window of W
+candidate states is evaluated in ONE batched (vmapped) denoiser call —
+on a mesh the window axis is sharded over 'data' — the trajectory is
+rebuilt by a cumulative sum of drift increments, and the window slides
+past every point whose value stopped changing (masked mean-square change
+in z- and seq-space <= tol^2). Sliding is guaranteed to make progress:
+the entry right after the window start is recomputed from a converged
+state, so it is exact after at most two visits. tol=0 therefore still
+terminates and reproduces the sequential DDIM trajectory exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import nanometre_to_angstrom, remove_mean
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def sample_ddim_parallel(
+    model,
+    params: Any,
+    batch: Batch,
+    key: jax.Array,
+    ddim_steps: int = 50,
+    window: int = 8,
+    tol: float = 1e-3,
+    mask_prob: Optional[float] = None,
+    mesh=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Deterministic DDIM sampling with window-parallel Picard iteration.
+
+    Same contract as ``model.sample_ddim(..., eta=0)`` — identical key
+    handling, so the same ``key`` yields the same initialization and, as
+    ``tol -> 0``, the same trajectory. Returns (positions [B,N,3] in
+    Angstrom, residue-masked seq logits [B,N,21], stats) where stats has
+    ``iterations`` (Picard sweeps) and ``nfe`` (total denoiser
+    evaluations; the sequential sampler's nfe is ``ddim_steps``).
+
+    ``window``: timesteps evaluated per sweep. On a ('data','model') mesh
+    the window axis is sharded over 'data' (use a multiple of the data
+    axis size); single-chip, it fills the batch dimension the O(N^3)
+    denoiser leaves idle at B=1 (BASELINE.md batch study).
+    """
+    cfg = model.cfg
+    sched = model.schedule
+    T = cfg.num_steps
+    S = int(ddim_steps)
+    W = int(window)
+
+    # --- identical init path to sample_ddim (prdiff.py) ------------------
+    k_prep, k_z, k_seq, _k_scan = jax.random.split(key, 4)
+    batch = model.prepare_batch(
+        batch, k_prep, training=False, mask_prob=mask_prob
+    )
+    x = batch["x"]
+    mask = batch["residue_and_atom_mask"]
+    residue_mask = batch["residue_mask"]
+    seq = batch["residue_one_hot"]
+    extra = batch["residue_extra_mask"][..., None]
+    inv = batch["residue_inv_extra_mask"][..., None]
+    B = x.shape[0]
+
+    z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
+    s0 = remove_mean(
+        jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+    )
+    s0 = extra * seq + inv * s0
+
+    taus = jnp.linspace(T - 1, 0, S).round().astype(jnp.int32)  # [S]
+
+    # y-space tables over trajectory indices 0..S (index S = x0 endpoint,
+    # alpha_bar := 1, gamma := 0, so y_S = z_S).
+    a = jnp.concatenate(
+        [sched.alphas_cumprod[taus], jnp.ones((1,), jnp.float32)]
+    )  # [S+1]
+    gamma = jnp.sqrt((1.0 - a) / a)
+    dgamma = gamma[1:] - gamma[:-1]                     # [S]
+    sqrt_a = jnp.sqrt(a)                                # [S+1]
+
+    # --- buffers (padded by W so window writes never clip) ---------------
+    SP = S + W
+    y0 = z0 / sqrt_a[0]
+    y_buf = jnp.broadcast_to(y0[None], (SP + 1, *z0.shape))
+    seq_buf = jnp.broadcast_to(s0[None], (SP + 1, *s0.shape))
+    # Raw seq_pred logits produced by the evaluation feeding each index
+    # (the reference returns the LAST raw prediction, `model.py:421-422`).
+    logit_buf = jnp.zeros((SP + 1, *s0.shape), s0.dtype)
+
+    idx_eval_max = S - 1
+    mask_sum = jnp.maximum(jnp.sum(mask), 1.0)
+    rmask_sum = jnp.maximum(jnp.sum(residue_mask), 1.0)
+    tol2 = jnp.asarray(tol, jnp.float32) ** 2
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        win_sharding = NamedSharding(mesh, P("data"))
+
+    def eval_one(z, sq, t_scalar):
+        t = jnp.broadcast_to(t_scalar, (B,))
+        return model.apply(params, batch, z, sq, mask, t)
+
+    def body(carry):
+        y_buf, seq_buf, logit_buf, s, iters, nfe = carry
+        offs = jnp.arange(W)
+        idx = s + offs                                   # eval indices
+        valid = (idx <= idx_eval_max)
+        idx_c = jnp.minimum(idx, idx_eval_max)
+
+        ys = jnp.take(y_buf, idx_c, axis=0)              # [W,B,N,3]
+        seqs = jnp.take(seq_buf, idx_c, axis=0)          # [W,B,N,21]
+        zs = sqrt_a[idx_c][:, None, None, None] * ys
+        if mesh is not None:
+            zs = jax.lax.with_sharding_constraint(zs, win_sharding)
+            seqs = jax.lax.with_sharding_constraint(seqs, win_sharding)
+        eps, seqp = jax.vmap(eval_one)(zs, seqs, taus[idx_c])
+
+        # Trajectory rebuild: cumulative drift from the converged y[s].
+        vmaskf = valid.astype(jnp.float32)[:, None, None, None]
+        inc = dgamma[idx_c][:, None, None, None] * eps * vmaskf
+        y_new = y_buf[s][None] + jnp.cumsum(inc, axis=0)      # -> idx s+1..s+W
+        seq_new = jax.nn.softmax(seqp, axis=-1) * 2.0 - 1.0   # -> idx+1
+        seq_new = jnp.where(vmaskf > 0, seq_new, jnp.take(
+            seq_buf, jnp.minimum(idx + 1, SP), axis=0))
+        logit_new = jnp.where(vmaskf > 0, seqp, jnp.take(
+            logit_buf, jnp.minimum(idx + 1, SP), axis=0))
+
+        # Masked mean-square change per window position, z- and seq-space.
+        y_old = jax.lax.dynamic_slice_in_dim(y_buf, s + 1, W, axis=0)
+        seq_old = jax.lax.dynamic_slice_in_dim(seq_buf, s + 1, W, axis=0)
+        sa_next = sqrt_a[jnp.minimum(idx + 1, S)][:, None, None, None]
+        dz2 = jnp.square(sa_next * (y_new - y_old))
+        err_z = jnp.sum(
+            mask[None, ..., None] * dz2, axis=(1, 2, 3)
+        ) / (3.0 * mask_sum)
+        ds2 = jnp.square(seq_new - seq_old)
+        err_s = jnp.sum(
+            residue_mask[None, ..., None] * ds2, axis=(1, 2, 3)
+        ) / (21.0 * rmask_sum)
+        ok = jnp.where(valid, jnp.maximum(err_z, err_s) <= tol2, True)
+        h = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))   # leading-ok run
+
+        y_buf = jax.lax.dynamic_update_slice_in_dim(y_buf, y_new, s + 1, 0)
+        seq_buf = jax.lax.dynamic_update_slice_in_dim(
+            seq_buf, seq_new, s + 1, 0
+        )
+        logit_buf = jax.lax.dynamic_update_slice_in_dim(
+            logit_buf, logit_new, s + 1, 0
+        )
+        return (
+            y_buf, seq_buf, logit_buf,
+            jnp.minimum(s + h, S),
+            iters + 1,
+            nfe + jnp.sum(valid.astype(jnp.int32)),
+        )
+
+    def cond(carry):
+        _, _, _, s, iters, _ = carry
+        # 2S sweeps suffice (each index is exact after <= 2 visits); the
+        # bound is a safety net against fp-degenerate tol settings.
+        return (s < S) & (iters < 2 * S + 2)
+
+    init = (
+        y_buf, seq_buf, logit_buf,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    y_buf, seq_buf, logit_buf, s, iters, nfe = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    z_final = y_buf[S]  # sqrt_a[S] == 1
+    pos = nanometre_to_angstrom(z_final)
+    stats = {"iterations": iters, "nfe": nfe}
+    return pos, residue_mask[..., None] * logit_buf[S], stats
