@@ -1,0 +1,114 @@
+"""Sampler quality sweep on in-framework-trained weights (ROADMAP #5).
+
+Compares the full sequential DDPM sampler against accelerated DDIM
+subsequences and the parallel-in-time Picard sampler, all from the SAME
+trained checkpoint, on the synthetic val split: mirror-aware TM-score to
+the helix reference, sequence recovery, and sequence diversity
+(`utils/metrics.py`). Publishes the official serving configuration in
+BASELINE.md.
+
+Usage (TPU, after benchmarks/prep_synth_dataset.py + cli.train):
+    python benchmarks/quality_sweep.py
+"""
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+from protein_redesign_tpu.chem.protein import protein_from_sequence
+from protein_redesign_tpu.cli.common import SamplingRunner
+from protein_redesign_tpu.cli.generate import _load_params
+from protein_redesign_tpu.data.dataset import load_complex_cache, load_split_ids
+from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+from protein_redesign_tpu.utils import metrics as M
+
+CKPT = "/tmp/prd_quality/run/checkpoints"
+DATA = "/tmp/prd_quality/data"
+NUM_SAMPLES = 4
+MASK_PROB = 0.15
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+params, cfg = _load_params(CKPT, num_steps=200)
+model = ProteinReDiffModel(cfg.replace(training_mode=False))
+val_ids = load_split_ids(DATA, "val")
+
+
+def helix_reference(n):
+    theta = np.deg2rad(100.0) * np.arange(n)
+    pos = np.stack(
+        [2.3 * np.cos(theta), 2.3 * np.sin(theta), 1.5 * np.arange(n)], -1
+    ).astype(np.float32)
+    prot = protein_from_sequence("A" * n)
+    ap = prot.atom_pos.copy()
+    ap[:, 1] = pos
+    return dataclasses.replace(prot, atom_pos=ap)
+
+
+def eval_runner(runner, label):
+    rows = []
+    t_start = time.perf_counter()
+    for pid in val_ids:
+        data = load_complex_cache(f"{DATA}/cache", pid)
+        n_res = int(data["num_residues"])
+        n_lig = int(data["num_atoms"])
+        true_seq = "".join(
+            AA[i] if 0 <= i < 20 else "X"
+            for i in np.asarray(data["residue_type"])
+        )
+        ref = helix_reference(n_res)
+        results = runner.run(
+            [data] * NUM_SAMPLES, jax.random.PRNGKey(abs(hash(pid)) % 2**31)
+        )
+        tms, seqs = [], []
+        for pos, seq_prob in results:
+            sp = protein_from_sequence(true_seq)
+            ap = sp.atom_pos.copy()
+            ap[:, 1] = pos[n_lig:n_lig + n_res]
+            sp = dataclasses.replace(sp, atom_pos=ap)
+            tms.append(M.tm_scores([sp], ref)[0])
+            toks = np.argmax(seq_prob[n_lig:n_lig + n_res], axis=-1)
+            seqs.append("".join(("X" + AA)[t] for t in toks))
+        rows.append({
+            "id": pid, "n_res": n_res,
+            "tm_mean": float(np.mean(tms)), "tm_max": float(np.max(tms)),
+            "recovery": M.sequence_recovery(seqs, true_seq),
+            "diversity": M.sequence_diversity(seqs),
+        })
+    wall = time.perf_counter() - t_start
+    agg = {
+        "tm_mean": float(np.mean([r["tm_mean"] for r in rows])),
+        "tm_max": float(np.mean([r["tm_max"] for r in rows])),
+        "recovery": float(np.mean([r["recovery"] for r in rows])),
+        "diversity": float(np.mean([r["diversity"] for r in rows])),
+        "wall_s_incl_compile": round(wall, 1),
+        "rows": rows,
+    }
+    print(f"== {label}: TM={agg['tm_mean']:.3f} (max {agg['tm_max']:.3f}) "
+          f"recovery={agg['recovery']:.3f} diversity={agg['diversity']:.3f} "
+          f"wall={wall:.0f}s", flush=True)
+    return agg
+
+
+CONFIGS = [
+    ("ddpm_200", dict(sampler="ddpm")),
+    ("ddim_100", dict(sampler="ddim", ddim_steps=100)),
+    ("ddim_50", dict(sampler="ddim", ddim_steps=50)),
+    ("ddim_25", dict(sampler="ddim", ddim_steps=25)),
+    ("ddim_parallel_50_w8", dict(sampler="ddim_parallel", ddim_steps=50,
+                                 window=8, ptol=1e-3)),
+]
+
+out = {}
+for label, kw in CONFIGS:
+    runner = SamplingRunner(
+        model, params, batch_size=NUM_SAMPLES, mask_prob=MASK_PROB, **kw
+    )
+    out[label] = eval_runner(runner, label)
+
+json.dump(out, open("/tmp/prd_quality/sweep.json", "w"), indent=1)
+print("sweep written to /tmp/prd_quality/sweep.json")

@@ -47,3 +47,23 @@ def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
     assert len(ok2["sequences"]) == 1
     broken = lines[3]
     assert "error" in broken  # handler survived unparseable JSON
+
+
+def test_serve_ddim_parallel_sampler(tiny_ckpt, tmp_path):  # noqa: F811
+    """The parallel-in-time sampler behind the serve CLI."""
+    from protein_redesign_tpu.cli.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(json.dumps({
+        "id": "p", "protein": "ACDEFGHIKL", "ligand": "CCO",
+        "num_samples": 1, "seed": 5,
+    }) + "\n")
+    out = tmp_path / "results.jsonl"
+    main([
+        "-c", str(tiny_ckpt), "-o", str(tmp_path / "srv"),
+        "--sampler", "ddim_parallel", "--ddim_steps", "4",
+        "--window", "4", "--ptol", "1e-3",
+        "--input", str(reqs), "--output", str(out),
+    ])
+    (resp,) = [json.loads(l) for l in out.read_text().splitlines()]
+    assert resp["id"] == "p" and len(resp["sequences"]) == 1
