@@ -204,6 +204,7 @@ class SamplingRunner:
         eta: float = 0.0,
         window: int = 8,
         ptol: float = 1e-3,
+        coarse_init: int = 0,
     ):
         """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
         sharded over the 'data' axis and params replicated — data-parallel
@@ -248,6 +249,7 @@ class SamplingRunner:
                 pos, logits, _stats = sample_ddim_parallel(
                     model, p, b, k, ddim_steps=ddim_steps, window=window,
                     tol=ptol, mask_prob=mp, mesh=mesh,
+                    coarse_init=coarse_init,
                 )
                 return pos, logits
             return model.sample(p, b, k, mask_prob=mp)

@@ -61,6 +61,9 @@ def main(argv=None):
                         help="ddim_parallel: per-point convergence "
                              "tolerance (masked RMS change, nm); 0 = "
                              "exact sequential trajectory")
+    parser.add_argument("--coarse_init", type=int, default=0,
+                        help="ddim_parallel: warm-start Picard from an "
+                             "N-step coarse sequential solve")
     parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--fast_softmax", action="store_true",
                         help="bf16 attention probabilities (~1.5x sampling "
@@ -120,6 +123,7 @@ def main(argv=None):
         mesh=make_inference_mesh(args.num_devices),
         sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
         window=args.window, ptol=args.ptol,
+        coarse_init=args.coarse_init,
     )
     key = jax.random.PRNGKey(args.seed)
     results = runner.run([data] * args.num_samples, key)

@@ -113,6 +113,7 @@ def main(argv=None):
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--window", type=int, default=8)
     parser.add_argument("--ptol", type=float, default=1e-3)
+    parser.add_argument("--coarse_init", type=int, default=0)
     parser.add_argument("--fast_softmax", action="store_true")
     parser.add_argument("--esm_model",
                         default="facebook/esm2_t33_650M_UR50D",
@@ -156,6 +157,7 @@ def main(argv=None):
         mesh=make_inference_mesh(args.num_devices),
         sampler=args.sampler, ddim_steps=args.ddim_steps,
         window=args.window, ptol=args.ptol,
+        coarse_init=args.coarse_init,
     )
 
     in_f = open(args.input) if args.input else sys.stdin

@@ -39,6 +39,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.geometry import nanometre_to_angstrom, remove_mean
 
@@ -55,6 +56,7 @@ def sample_ddim_parallel(
     tol: float = 1e-3,
     mask_prob: Optional[float] = None,
     mesh=None,
+    coarse_init: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Deterministic DDIM sampling with window-parallel Picard iteration.
 
@@ -69,9 +71,16 @@ def sample_ddim_parallel(
     the window axis is sharded over 'data' (use a multiple of the data
     axis size); single-chip, it fills the batch dimension the O(N^3)
     denoiser leaves idle at B=1 (BASELINE.md batch study).
+
+    ``coarse_init``: > 0 warm-starts the Picard iteration from a cheap
+    ``coarse_init``-step sequential DDIM solve on a sub-grid of the fine
+    trajectory, extended to fine indices by gamma-linear extrapolation of
+    each segment's drift ("Accelerating Parallel Sampling of Diffusion
+    Models", PAPERS.md) — typically far fewer sweeps than the constant
+    init, at the price of ``coarse_init`` extra sequential evaluations.
+    The fixed point (and the tol=0 exactness guarantee) is unchanged.
     """
     cfg = model.cfg
-    sched = model.schedule
     T = cfg.num_steps
     S = int(ddim_steps)
     W = int(window)
@@ -95,22 +104,88 @@ def sample_ddim_parallel(
     )
     s0 = extra * seq + inv * s0
 
-    taus = jnp.linspace(T - 1, 0, S).round().astype(jnp.int32)  # [S]
+    # Time tables are host-side numpy, recomputed from the schedule's own
+    # numpy source (`get_betas`) so they stay compile-time constants even
+    # under jit (the jnp schedule pytree becomes a tracer there). The f32
+    # round-trip matches `sched.alphas_cumprod`'s stored values exactly.
+    from .diffusion import get_betas
+
+    taus_np = np.round(np.linspace(T - 1, 0, S)).astype(np.int32)   # [S]
+    taus = jnp.asarray(taus_np)
+
+    acp_np = np.cumprod(1.0 - get_betas(T, cfg.diffusion_schedule)).astype(
+        np.float32
+    )
 
     # y-space tables over trajectory indices 0..S (index S = x0 endpoint,
     # alpha_bar := 1, gamma := 0, so y_S = z_S).
-    a = jnp.concatenate(
-        [sched.alphas_cumprod[taus], jnp.ones((1,), jnp.float32)]
-    )  # [S+1]
-    gamma = jnp.sqrt((1.0 - a) / a)
+    a_np = np.concatenate([acp_np[taus_np], [1.0]]).astype(np.float64)
+    gamma_np = np.sqrt((1.0 - a_np) / a_np).astype(np.float32)
+    gamma = jnp.asarray(gamma_np)
     dgamma = gamma[1:] - gamma[:-1]                     # [S]
-    sqrt_a = jnp.sqrt(a)                                # [S+1]
+    sqrt_a = jnp.asarray(np.sqrt(a_np), jnp.float32)    # [S+1]
+
+    def eval_one_(z, sq, t_scalar):
+        t = jnp.broadcast_to(t_scalar, (B,))
+        return model.apply(params, batch, z, sq, mask, t)
 
     # --- buffers (padded by W so window writes never clip) ---------------
     SP = S + W
     y0 = z0 / sqrt_a[0]
-    y_buf = jnp.broadcast_to(y0[None], (SP + 1, *z0.shape))
-    seq_buf = jnp.broadcast_to(s0[None], (SP + 1, *s0.shape))
+    if coarse_init > 0:
+        C = min(int(coarse_init), S)
+        # Static sub-grid of fine trajectory indices 0 = c_0 < ... < c_C = S.
+        cpts = np.unique(
+            np.round(np.linspace(0, S, C + 1)).astype(np.int32)
+        )
+        C = len(cpts) - 1
+
+        def cstep(carry, seg):
+            y, sq = carry
+            i0, dg = seg
+            eps, seqp = eval_one_(
+                sqrt_a[i0] * y, sq, taus[i0]
+            )
+            y1 = y + dg * eps
+            sq1 = jax.nn.softmax(seqp, axis=-1) * 2.0 - 1.0
+            return (y1, sq1), (eps, sq)
+
+        seg_dg = jnp.asarray(
+            gamma_np[cpts[1:]] - gamma_np[cpts[:-1]], jnp.float32
+        )
+        (_, _), (eps_c, sq_c) = jax.lax.scan(
+            cstep, (y0, s0), (jnp.asarray(cpts[:-1]), seg_dg)
+        )
+        # Fine index i lives in segment seg(i); its warm start follows the
+        # segment's (constant-eps) drift from the segment start. Exact at
+        # every coarse point by construction.
+        fine = np.arange(SP + 1)
+        seg = np.clip(
+            np.searchsorted(cpts, np.minimum(fine, S), side="right") - 1,
+            0, C - 1,
+        )
+        gmi = jnp.asarray(
+            gamma_np[np.minimum(fine, S)] - gamma_np[cpts[seg]], jnp.float32
+        )
+        # y at segment starts: y_c[j] = y0 + sum of earlier segment drifts.
+        y_starts = jnp.concatenate(
+            [y0[None],
+             y0[None] + jnp.cumsum(
+                 seg_dg[:, None, None, None] * eps_c, axis=0
+             )[:-1]],
+            axis=0,
+        )                                              # [C, B, N, 3]
+        segj = jnp.asarray(seg)
+        y_buf = (
+            jnp.take(y_starts, segj, axis=0)
+            + gmi[:, None, None, None] * jnp.take(eps_c, segj, axis=0)
+        )
+        seq_buf = jnp.take(sq_c, segj, axis=0)
+        nfe0 = jnp.asarray(C, jnp.int32)
+    else:
+        y_buf = jnp.broadcast_to(y0[None], (SP + 1, *z0.shape))
+        seq_buf = jnp.broadcast_to(s0[None], (SP + 1, *s0.shape))
+        nfe0 = jnp.asarray(0, jnp.int32)
     # Raw seq_pred logits produced by the evaluation feeding each index
     # (the reference returns the LAST raw prediction, `model.py:421-422`).
     logit_buf = jnp.zeros((SP + 1, *s0.shape), s0.dtype)
@@ -125,10 +200,6 @@ def sample_ddim_parallel(
 
         win_sharding = NamedSharding(mesh, P("data"))
 
-    def eval_one(z, sq, t_scalar):
-        t = jnp.broadcast_to(t_scalar, (B,))
-        return model.apply(params, batch, z, sq, mask, t)
-
     def body(carry):
         y_buf, seq_buf, logit_buf, s, iters, nfe = carry
         offs = jnp.arange(W)
@@ -142,7 +213,7 @@ def sample_ddim_parallel(
         if mesh is not None:
             zs = jax.lax.with_sharding_constraint(zs, win_sharding)
             seqs = jax.lax.with_sharding_constraint(seqs, win_sharding)
-        eps, seqp = jax.vmap(eval_one)(zs, seqs, taus[idx_c])
+        eps, seqp = jax.vmap(eval_one_)(zs, seqs, taus[idx_c])
 
         # Trajectory rebuild: cumulative drift from the converged y[s].
         vmaskf = valid.astype(jnp.float32)[:, None, None, None]
@@ -193,7 +264,7 @@ def sample_ddim_parallel(
         y_buf, seq_buf, logit_buf,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
+        nfe0,
     )
     y_buf, seq_buf, logit_buf, s, iters, nfe = jax.lax.while_loop(
         cond, body, init

@@ -94,6 +94,57 @@ class TestExactness:
         rm = np.asarray(batch["residue_mask"])
         assert np.all(np.asarray(logits)[rm == 0] == 0.0)
 
+    def test_coarse_init_same_fixed_point(self, setup):
+        """Warm-starting from a coarse solve changes the starting guess,
+        not the fixed point: tol=0 still reproduces sequential DDIM, and
+        the warm start needs no more sweeps than the constant init."""
+        model, params, batch = setup
+        pos_seq, _ = model.sample_ddim(
+            params, batch, KEY, ddim_steps=S, eta=0.0, mask_prob=0.3
+        )
+        pos_cold, _, st_cold = sample_ddim_parallel(
+            model, params, batch, KEY,
+            ddim_steps=S, window=4, tol=0.0, mask_prob=0.3,
+        )
+        pos_warm, _, st_warm = sample_ddim_parallel(
+            model, params, batch, KEY,
+            ddim_steps=S, window=4, tol=0.0, mask_prob=0.3, coarse_init=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pos_warm), np.asarray(pos_seq), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pos_warm), np.asarray(pos_cold), atol=5e-4
+        )
+        assert int(st_warm["iterations"]) <= int(st_cold["iterations"])
+        # nfe accounts for the coarse evaluations.
+        assert int(st_warm["nfe"]) >= 2
+
+    def test_coarse_init_fewer_sweeps_at_tolerance(self, setup):
+        model, params, batch = setup
+        _, _, st_cold = sample_ddim_parallel(
+            model, params, batch, KEY,
+            ddim_steps=S, window=4, tol=1e-3, mask_prob=0.3,
+        )
+        _, _, st_warm = sample_ddim_parallel(
+            model, params, batch, KEY,
+            ddim_steps=S, window=4, tol=1e-3, mask_prob=0.3, coarse_init=2,
+        )
+        assert int(st_warm["iterations"]) <= int(st_cold["iterations"])
+
+    def test_coarse_init_under_jit(self, setup):
+        """coarse_init's host-side tables must stay compile-time constants
+        (regression: tracer leak via jnp-derived gamma under jit)."""
+        model, params, batch = setup
+        fn = jax.jit(
+            lambda p, b, k: sample_ddim_parallel(
+                model, p, b, k, ddim_steps=S, window=4, tol=1e-3,
+                mask_prob=0.3, coarse_init=2,
+            )
+        )
+        pos, _, _ = fn(params, batch, KEY)
+        assert np.isfinite(np.asarray(pos)).all()
+
     def test_jit_compiles_once(self, setup):
         model, params, batch = setup
         fn = jax.jit(
