@@ -46,6 +46,13 @@ def main(argv=None):
     parser.add_argument("--require_esm", action="store_true",
                         help="error out instead of silently using zero ESM "
                              "embeddings when weights are unavailable")
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim", "ddim_parallel"))
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument("--window", type=int, default=8)
+    parser.add_argument("--ptol", type=float, default=1e-3)
+    parser.add_argument("--coarse_init", type=int, default=0)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("-c", "--ckpt_path", type=Path, required=True)
     parser.add_argument("-o", "--output_dir", type=Path, required=True)
@@ -109,6 +116,8 @@ def main(argv=None):
     runner = SamplingRunner(
         model, params, batch_size=args.batch_size, mask_prob=args.mask_prob,
         mesh=make_inference_mesh(args.num_devices),
+        sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
+        window=args.window, ptol=args.ptol, coarse_init=args.coarse_init,
     )
     results = runner.run(datas, jax.random.PRNGKey(seed))
 
