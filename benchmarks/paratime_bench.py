@@ -73,5 +73,35 @@ def bench(cfg, label):
 
 
 # Paper-scale config (checkpoint-compatible head layout).
-bench(ModelConfig(single_dim=512, pair_dim=64, num_blocks=4, num_steps=200),
-      "paper 512/64/4 h16x4")
+if "--coarse" not in sys.argv:
+    bench(
+        ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
+                    num_steps=200),
+        "paper 512/64/4 h16x4",
+    )
+
+# Coarse warm start: sweep-count reduction (multi-chip latency projector).
+def bench_coarse(cfg, label):
+    model = ProteinReDiffModel(cfg)
+    batch_np = _make_batch(n_atoms=34, n_res=110, bucket=192,
+                           esm_dim=cfg.esm_dim)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key, batch)
+    for ci in (6, 12):
+        fn = jax.jit(lambda p, b, k: sample_ddim_parallel(
+            model, p, b, k, ddim_steps=S, window=8, tol=1e-3,
+            mask_prob=0.3, coarse_init=ci))
+        timed(fn, params, batch, key)
+        dt, out = timed(fn, params, batch, jax.random.PRNGKey(1))
+        print(f"[{label}] W=8 coarse_init={ci}: {dt:.3f} s, "
+              f"sweeps={int(out[2]['iterations'])}, "
+              f"nfe={int(out[2]['nfe'])}", flush=True)
+
+
+if "--coarse" in sys.argv:
+    bench_coarse(
+        ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
+                    num_steps=200),
+        "paper h16x4",
+    )
