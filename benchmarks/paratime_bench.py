@@ -53,6 +53,7 @@ def bench(cfg, label):
     seq_wall = min(dt1, dt2)
     print(f"[{label}] sequential ddim-{S}: {seq_wall:.3f} s", flush=True)
 
+    pos_seq = np.asarray(seq_fn(params, batch, jax.random.PRNGKey(1))[0])
     for W in (4, 8, 16):
         par_fn = jax.jit(lambda p, b, k: sample_ddim_parallel(
             model, p, b, k, ddim_steps=S, window=W, tol=1e-3,
@@ -64,9 +65,7 @@ def bench(cfg, label):
         it = int(out[2]["iterations"])
         nfe = int(out[2]["nfe"])
         # agreement with the sequential trajectory at this tol
-        pos_seq = np.asarray(seq_fn(params, batch, jax.random.PRNGKey(1))[0])
-        pos_par = np.asarray(par_fn(params, batch, jax.random.PRNGKey(1))[0])
-        err = float(np.abs(pos_par - pos_seq).max())
+        err = float(np.abs(np.asarray(out[0]) - pos_seq).max())
         print(f"[{label}] ddim_parallel W={W} tol=1e-3: {wall:.3f} s "
               f"({seq_wall / wall:.2f}x vs sequential), sweeps={it}, "
               f"nfe={nfe}, max|dpos|={err:.3f} A", flush=True)

@@ -9,6 +9,8 @@ on the val split as the control.
 import dataclasses
 import json
 import sys
+import zlib
+import zlib
 
 sys.path.insert(0, "/root/repo")
 
@@ -57,7 +59,7 @@ def eval_ids(runner, ids, label):
         )
         ref = helix_reference(n_res)
         results = runner.run(
-            [data] * NUM_SAMPLES, jax.random.PRNGKey(abs(hash(pid)) % 2**31)
+            [data] * NUM_SAMPLES, jax.random.PRNGKey(zlib.crc32(pid.encode()))
         )
         tms, seqs = [], []
         for pos, seq_prob in results:

@@ -13,6 +13,7 @@ Usage (TPU, after benchmarks/prep_synth_dataset.py + cli.train):
 import dataclasses
 import json
 import sys
+import zlib
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -62,7 +63,7 @@ def eval_runner(runner, label):
         )
         ref = helix_reference(n_res)
         results = runner.run(
-            [data] * NUM_SAMPLES, jax.random.PRNGKey(abs(hash(pid)) % 2**31)
+            [data] * NUM_SAMPLES, jax.random.PRNGKey(zlib.crc32(pid.encode()))
         )
         tms, seqs = [], []
         for pos, seq_prob in results:

@@ -165,6 +165,52 @@ def load_protein_arg(protein: str) -> Protein:
     return protein_from_sequence(protein)
 
 
+def add_esm_args(parser) -> None:
+    """Shared ESM flags (one definition for all five CLIs)."""
+    parser.add_argument("--esm_model",
+                        default="facebook/esm2_t33_650M_UR50D",
+                        help="HF model id or local path of the ESM-2 "
+                             "checkpoint (e.g. a smaller esm2_t12_35M_UR50D)")
+    parser.add_argument("--esm_backend", choices=["torch", "jax"],
+                        default="torch",
+                        help="run ESM-2 with HF torch on the host or with "
+                             "the in-repo JAX port on the default JAX "
+                             "platform (TPU when available)")
+    parser.add_argument("--require_esm", action="store_true",
+                        help="error out instead of silently using zero ESM "
+                             "embeddings when weights are unavailable")
+
+
+def add_sampler_args(parser) -> None:
+    """Shared sampler-selection flags."""
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=("ddpm", "ddim", "ddim_parallel"),
+                        help="ddim: accelerated subsequence sampling; "
+                             "ddim_parallel: window-parallel Picard "
+                             "iteration (models/paratime.py)")
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM stochasticity (ddim sampler only)")
+    parser.add_argument("--window", type=int, default=8,
+                        help="ddim_parallel: timesteps evaluated per Picard "
+                             "sweep (shard over chips via --num_devices)")
+    parser.add_argument("--ptol", type=float, default=1e-3,
+                        help="ddim_parallel: per-point convergence tolerance "
+                             "(masked RMS change, nm); 0 = exact sequential "
+                             "trajectory")
+    parser.add_argument("--coarse_init", type=int, default=0,
+                        help="ddim_parallel: warm-start Picard from an "
+                             "N-step coarse sequential solve")
+
+
+def runner_sampler_kwargs(args) -> Dict:
+    """SamplingRunner kwargs from add_sampler_args flags."""
+    return dict(
+        sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
+        window=args.window, ptol=args.ptol, coarse_init=args.coarse_init,
+    )
+
+
 def make_inference_mesh(num_devices: int):
     """A 1-D data-parallel mesh over the first ``num_devices`` devices, or
     None for the plain single-device path. The TPU-native equivalent of
@@ -219,13 +265,23 @@ class SamplingRunner:
         )
         self.mesh = mesh
         self.sampler = sampler
+        if sampler not in ("ddpm", "ddim", "ddim_parallel"):
+            raise ValueError(f"Unknown sampler: {sampler}")
+        if sampler == "ddim_parallel" and eta != 0.0:
+            raise ValueError(
+                "--eta is only supported by the plain ddim sampler; "
+                "ddim_parallel is deterministic (eta=0)"
+            )
         if mesh is not None:
             from ..parallel.mesh import replicated
 
             self.params = jax.device_put(params, replicated(mesh))
-            # With pure data-parallel sampling, a batch smaller than the
-            # data axis would waste chips; lift the floor.
-            self.batch_size = max(batch_size, mesh.shape["data"])
+            if sampler != "ddim_parallel":
+                # With pure data-parallel sampling, a batch smaller than
+                # the data axis would waste chips; lift the floor. (For
+                # ddim_parallel the WINDOW rides the data axis instead and
+                # batches stay whole per program.)
+                self.batch_size = max(batch_size, mesh.shape["data"])
         else:
             self.params = params
         # mask_prob is a TRACED argument (not a closure constant) so one
@@ -254,12 +310,6 @@ class SamplingRunner:
                 return pos, logits
             return model.sample(p, b, k, mask_prob=mp)
 
-        if sampler not in ("ddpm", "ddim", "ddim_parallel"):
-            raise ValueError(f"Unknown sampler: {sampler}")
-        if sampler == "ddim_parallel" and mesh is not None:
-            # The window is the parallel axis; batches stay whole per
-            # program (no batch-axis sharding).
-            self.batch_size = batch_size
         self._jit = jax.jit(_sample)
 
     def _put_batch(self, batch):

@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from .common import add_esm_args, add_sampler_args
+
     parser = ArgumentParser()
     parser.add_argument("--accelerator", type=str, default="tpu")  # accepted
     parser.add_argument("--batch_size", type=int, default=1)
@@ -33,26 +35,8 @@ def main(argv=None):
     parser.add_argument("--num_steps", type=int, default=64)
     parser.add_argument("--mask_prob", type=float, default=0.3)
     parser.add_argument("--training_mode", action="store_true")
-    parser.add_argument("--esm_model",
-                        default="facebook/esm2_t33_650M_UR50D",
-                        help="HF model id or local path of the ESM-2 "
-                             "checkpoint (e.g. a smaller "
-                             "esm2_t12_35M_UR50D)")
-    parser.add_argument("--esm_backend", choices=["torch", "jax"],
-                        default="torch",
-                        help="run ESM-2 with HF torch on the host or "
-                             "with the in-repo JAX port on the default "
-                             "JAX platform (TPU when available)")
-    parser.add_argument("--require_esm", action="store_true",
-                        help="error out instead of silently using zero ESM "
-                             "embeddings when weights are unavailable")
-    parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim", "ddim_parallel"))
-    parser.add_argument("--ddim_steps", type=int, default=50)
-    parser.add_argument("--eta", type=float, default=0.0)
-    parser.add_argument("--window", type=int, default=8)
-    parser.add_argument("--ptol", type=float, default=1e-3)
-    parser.add_argument("--coarse_init", type=int, default=0)
+    add_esm_args(parser)
+    add_sampler_args(parser)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("-c", "--ckpt_path", type=Path, required=True)
     parser.add_argument("-o", "--output_dir", type=Path, required=True)
@@ -74,6 +58,7 @@ def main(argv=None):
         make_inference_mesh,
         parse_ligands,
         proteins_from_fasta_with_mask,
+        runner_sampler_kwargs,
         update_pos,
         update_seq,
     )
@@ -116,8 +101,7 @@ def main(argv=None):
     runner = SamplingRunner(
         model, params, batch_size=args.batch_size, mask_prob=args.mask_prob,
         mesh=make_inference_mesh(args.num_devices),
-        sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
-        window=args.window, ptol=args.ptol, coarse_init=args.coarse_init,
+        **runner_sampler_kwargs(args),
     )
     results = runner.run(datas, jax.random.PRNGKey(seed))
 

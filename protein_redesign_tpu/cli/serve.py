@@ -100,6 +100,8 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob):
 
 
 def main(argv=None):
+    from .common import add_esm_args, add_sampler_args
+
     parser = ArgumentParser()
     parser.add_argument("-c", "--ckpt_path", type=Path, required=True)
     parser.add_argument("-o", "--output_dir", type=Path, required=True)
@@ -108,26 +110,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--num_devices", type=int, default=1,
                         help="data-parallel sampling over this many chips")
-    parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=("ddpm", "ddim", "ddim_parallel"))
-    parser.add_argument("--ddim_steps", type=int, default=50)
-    parser.add_argument("--window", type=int, default=8)
-    parser.add_argument("--ptol", type=float, default=1e-3)
-    parser.add_argument("--coarse_init", type=int, default=0)
+    add_sampler_args(parser)
     parser.add_argument("--fast_softmax", action="store_true")
-    parser.add_argument("--esm_model",
-                        default="facebook/esm2_t33_650M_UR50D",
-                        help="HF model id or local path of the ESM-2 "
-                             "checkpoint (e.g. a smaller "
-                             "esm2_t12_35M_UR50D)")
-    parser.add_argument("--esm_backend", choices=["torch", "jax"],
-                        default="torch",
-                        help="run ESM-2 with HF torch on the host or "
-                             "with the in-repo JAX port on the default "
-                             "JAX platform (TPU when available)")
-    parser.add_argument("--require_esm", action="store_true",
-                        help="error out instead of silently using zero ESM "
-                             "embeddings when weights are unavailable")
+    add_esm_args(parser)
     parser.add_argument("--input", type=str, default=None,
                         help="JSONL request file (default: stdin)")
     parser.add_argument("--output", type=str, default=None,
@@ -136,7 +121,11 @@ def main(argv=None):
 
     from ..models.prdiff import ProteinReDiffModel
     from ..utils.esm import ESMEmbedder
-    from .common import SamplingRunner, make_inference_mesh
+    from .common import (
+        SamplingRunner,
+        make_inference_mesh,
+        runner_sampler_kwargs,
+    )
     from .generate import _load_params
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
@@ -155,9 +144,7 @@ def main(argv=None):
         model, params, batch_size=args.batch_size,
         mask_prob=args.mask_prob,
         mesh=make_inference_mesh(args.num_devices),
-        sampler=args.sampler, ddim_steps=args.ddim_steps,
-        window=args.window, ptol=args.ptol,
-        coarse_init=args.coarse_init,
+        **runner_sampler_kwargs(args),
     )
 
     in_f = open(args.input) if args.input else sys.stdin

@@ -234,6 +234,18 @@ def esm2_params_from_hf(state_dict: Dict[str, "Any"]) -> Dict[str, Any]:
 
 
 def esm2_config_from_hf(hf_config: Any, dtype: str = "float32") -> ESM2Config:
+    # esm2_forward hardcodes the ESM-2 architecture: rotary positions, no
+    # embedding LayerNorm. Reject ESM-1b/-1v style configs loudly instead
+    # of computing silently wrong embeddings.
+    pe = getattr(hf_config, "position_embedding_type", "absolute")
+    if pe != "rotary" or getattr(hf_config, "emb_layer_norm_before", False):
+        raise ValueError(
+            f"JAX backend supports ESM-2 checkpoints only (rotary "
+            f"positions, no pre-embedding LayerNorm); got "
+            f"position_embedding_type={pe!r}, emb_layer_norm_before="
+            f"{getattr(hf_config, 'emb_layer_norm_before', False)!r}. "
+            "Use --esm_backend torch for other ESM variants."
+        )
     return ESM2Config(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,
@@ -325,7 +337,9 @@ def load_jax_esm2(
     local_files_only: bool = True,
 ) -> Optional[JaxESM2]:
     """Load HF ESM-2 weights (local cache only by default) into JaxESM2.
-    Returns None when the weights are unavailable offline."""
+    Returns None when the weights are unavailable offline; any OTHER
+    failure (unsupported architecture, converter mismatch, corrupt shard)
+    propagates so it cannot masquerade as a missing-weights zero-fallback."""
     try:
         from transformers import AutoConfig, EsmModel
 
@@ -333,14 +347,14 @@ def load_jax_esm2(
             model_name, local_files_only=local_files_only,
             add_pooling_layer=False,
         ).eval()
-        cfg = esm2_config_from_hf(
-            AutoConfig.from_pretrained(
-                model_name, local_files_only=local_files_only
-            ),
-            dtype=dtype,
-        )
-    except Exception:
+    except (OSError, ImportError):  # offline / not downloaded
         return None
+    cfg = esm2_config_from_hf(
+        AutoConfig.from_pretrained(
+            model_name, local_files_only=local_files_only
+        ),
+        dtype=dtype,
+    )
     params = esm2_params_from_hf(hf.state_dict())
     del hf
     return JaxESM2(params, cfg)

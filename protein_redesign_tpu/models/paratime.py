@@ -198,6 +198,17 @@ def sample_ddim_parallel(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        d_size = mesh.shape["data"]
+        if W % d_size:
+            import warnings
+
+            warnings.warn(
+                f"ddim_parallel window={W} is not a multiple of the mesh "
+                f"data axis ({d_size}); the window shards unevenly and "
+                f"per-sweep latency matches the next multiple "
+                f"({-(-W // d_size) * d_size}) — pick window as a multiple "
+                "of the chip count."
+            )
         win_sharding = NamedSharding(mesh, P("data"))
 
     def body(carry):

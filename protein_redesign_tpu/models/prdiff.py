@@ -491,8 +491,15 @@ class ProteinReDiffModel:
         s0 = extra * seq + inv * s0
 
         # Descending timestep subsequence tau_0 > tau_1 > ... > tau_{S-1}=0,
-        # with alpha_bar_prev at the final step = 1 (x0 endpoint).
-        taus = jnp.linspace(T - 1, 0, ddim_steps).round().astype(jnp.int32)
+        # with alpha_bar_prev at the final step = 1 (x0 endpoint). Computed
+        # host-side in f64 so the grid is EXACTLY the one the parallel-in-
+        # time sampler uses (models/paratime.py derives the same numpy
+        # expression; an f32 jnp.linspace rounds differently at some (T, S)).
+        import numpy as _np
+
+        taus = jnp.asarray(
+            _np.round(_np.linspace(T - 1, 0, ddim_steps)).astype(_np.int32)
+        )
         taus_prev = jnp.concatenate([taus[1:], jnp.array([-1])])
 
         def step(carry, inp):

@@ -160,6 +160,39 @@ class TestExactness:
         assert np.abs(np.asarray(pos1) - np.asarray(pos2)).max() > 1e-3
 
 
+class TestTausGrid:
+    def test_sequential_and_parallel_taus_identical(self):
+        """Regression (code review): an f32 jnp.linspace().round() diverges
+        from f64 numpy rounding at some (num_steps, ddim_steps), e.g.
+        T=101/S=25 -> tau 37 vs 38. Both samplers must share ONE grid."""
+        for T, S in [(101, 25), (1000, 19), (1000, 31), (789, 25), (200, 50)]:
+            expected = np.round(np.linspace(T - 1, 0, S)).astype(np.int32)
+            cfg = TINY.replace(num_steps=T)
+            model = ProteinReDiffModel(cfg)
+            # sample_ddim's grid: re-derive by tracing its taus expression
+            # (both implementations now share the numpy formula; pin it).
+            taus_seq = np.round(np.linspace(T - 1, 0, S)).astype(np.int32)
+            np.testing.assert_array_equal(taus_seq, expected)
+            # and the two samplers agree end-to-end on a case where the
+            # f32 path used to diverge:
+            if (T, S) == (101, 25):
+                batch = {
+                    k: jnp.asarray(v)
+                    for k, v in _make_batch(4, 12, 32, esm_dim=16).items()
+                }
+                params = model.init_params(jax.random.PRNGKey(0), batch)
+                p_seq, _ = model.sample_ddim(
+                    params, batch, KEY, ddim_steps=S, mask_prob=0.3
+                )
+                p_par, _, _ = sample_ddim_parallel(
+                    model, params, batch, KEY,
+                    ddim_steps=S, window=4, tol=0.0, mask_prob=0.3,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(p_par), np.asarray(p_seq), atol=5e-4
+                )
+
+
 class TestMesh:
     def test_window_sharded_over_mesh_matches_single_device(self, setup):
         from protein_redesign_tpu.parallel.mesh import make_mesh
