@@ -171,6 +171,29 @@ class TestEmbedderJaxBackend:
         )
 
 
+class TestArchitectureGuard:
+    def test_non_rotary_config_rejected(self):
+        """ESM-1b-style configs (absolute positions or pre-embedding LN)
+        must fail loudly, not compute silently wrong embeddings."""
+        from transformers import EsmConfig
+
+        cfg_abs = EsmConfig(
+            vocab_size=33, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=96,
+            position_embedding_type="absolute",
+        )
+        with pytest.raises(ValueError, match="rotary"):
+            esm2_config_from_hf(cfg_abs)
+
+        cfg_preln = EsmConfig(
+            vocab_size=33, hidden_size=48, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=96,
+            position_embedding_type="rotary", emb_layer_norm_before=True,
+        )
+        with pytest.raises(ValueError, match="ESM-2"):
+            esm2_config_from_hf(cfg_preln)
+
+
 class TestSemantics:
     def setup_method(self):
         import jax

@@ -160,6 +160,24 @@ class TestExactness:
         assert np.abs(np.asarray(pos1) - np.asarray(pos2)).max() > 1e-3
 
 
+class TestRunnerGuards:
+    def test_eta_rejected_with_ddim_parallel(self, setup):
+        from protein_redesign_tpu.cli.common import SamplingRunner
+
+        model, params, _ = setup
+        with pytest.raises(ValueError, match="eta"):
+            SamplingRunner(
+                model, params, sampler="ddim_parallel", eta=0.5,
+            )
+
+    def test_unknown_sampler_rejected(self, setup):
+        from protein_redesign_tpu.cli.common import SamplingRunner
+
+        model, params, _ = setup
+        with pytest.raises(ValueError, match="Unknown sampler"):
+            SamplingRunner(model, params, sampler="euler")
+
+
 class TestTausGrid:
     def test_sequential_and_parallel_taus_identical(self):
         """Regression (code review): an f32 jnp.linspace().round() diverges
