@@ -18,3 +18,38 @@ Layer map (mirrors the reference layering, see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API (PEP 562) — keeps `import protein_redesign_tpu` free
+# of jax/flax import cost for host-side-only users (e.g. chem tooling).
+_EXPORTS = {
+    "ModelConfig": ("protein_redesign_tpu.config", "ModelConfig"),
+    "DataConfig": ("protein_redesign_tpu.config", "DataConfig"),
+    "TrainConfig": ("protein_redesign_tpu.config", "TrainConfig"),
+    "ProteinReDiffModel": (
+        "protein_redesign_tpu.models.prdiff", "ProteinReDiffModel"
+    ),
+    "ProteinReDiffNet": (
+        "protein_redesign_tpu.models.prdiff", "ProteinReDiffNet"
+    ),
+    "DiffusionSchedule": (
+        "protein_redesign_tpu.models.diffusion", "DiffusionSchedule"
+    ),
+    "Protein": ("protein_redesign_tpu.chem.protein", "Protein"),
+    "Molecule": ("protein_redesign_tpu.chem.mol", "Molecule"),
+    "ESMEmbedder": ("protein_redesign_tpu.utils.esm", "ESMEmbedder"),
+    "SamplingRunner": ("protein_redesign_tpu.cli.common", "SamplingRunner"),
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name):
+    try:
+        module, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
