@@ -1,7 +1,16 @@
 """Build a synthetic-structure training cache from the reference's 207
-inference fixtures (sequences + ligand SMILES): each protein gets an ideal
-alpha-helix CA trace, each ligand a compact gaussian cloud near the helix
-centroid. Exercises the full L0->L6 stack with learnable geometry."""
+inference fixtures (sequences + ligand SMILES,
+`/root/reference/scripts/test_sequences_from_pdb.fasta` / `test_pdb.smiles`).
+
+Each protein gets a DETERMINISTIC, SEQUENCE-DEPENDENT CA trace: secondary
+structure assigned from residue propensities (helix/strand/coil), built
+with ideal helix/strand CA geometry and sequence-seeded coil torsions
+(`synth_common.fold_ca_trace`). Each ligand is a compact gaussian cloud at
+the fold centroid. This gives the diffusion model a learnable
+sequence->structure mapping, so TM-score against the cached ground truth
+measures real learning — unlike the round-2 pilot's shared ideal helix.
+"""
+import dataclasses
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -9,6 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
+from synth_common import fold_ca_trace, protein_with_ca
 from protein_redesign_tpu.chem.mol import mol_from_smiles, update_mol_positions
 from protein_redesign_tpu.chem.protein import protein_from_sequence, read_fasta
 from protein_redesign_tpu.chem.smiles import strip_cxsmiles
@@ -27,15 +37,6 @@ smiles_lines = [
     if l.strip()
 ]
 
-
-def helix_ca(n, seed):
-    theta = np.deg2rad(100.0) * np.arange(n)
-    pos = np.stack(
-        [2.3 * np.cos(theta), 2.3 * np.sin(theta), 1.5 * np.arange(n)], -1
-    )
-    return pos.astype(np.float32)
-
-
 kept = []
 for idx, (name, seq) in enumerate(fasta):
     if idx >= len(smiles_lines):
@@ -50,13 +51,8 @@ for idx, (name, seq) in enumerate(fasta):
     n_lig = mol.num_atoms()
     if not (3 <= n_lig <= 40) or len(seq) + n_lig > 250:
         continue
-    prot = protein_from_sequence(seq)
-    ca = helix_ca(len(seq), idx)
-    atom_pos = prot.atom_pos.copy()
-    atom_pos[:, 1] = ca
-    import dataclasses
-
-    prot = dataclasses.replace(prot, atom_pos=atom_pos)
+    ca = fold_ca_trace(seq)
+    prot = protein_with_ca(seq, ca)
     rng = np.random.RandomState(idx)
     lig_pos = ca.mean(0) + rng.randn(n_lig, 3).astype(np.float32) * 2.0
     mol = update_mol_positions(mol, lig_pos)

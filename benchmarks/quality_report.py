@@ -6,18 +6,23 @@ trace against the synthetic helix reference with mirror-aware TM-align,
 and measure sequence recovery/diversity. A random-init model is scored
 on the val split as the control.
 """
-import dataclasses
 import json
+import os
 import sys
-import zlib
 import zlib
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import numpy as np
 
-from protein_redesign_tpu.chem.protein import protein_from_sequence
+from synth_common import (
+    AA,
+    protein_with_ca,
+    reference_from_cache,
+    seq_from_residue_types,
+)
 from protein_redesign_tpu.cli.common import SamplingRunner
 from protein_redesign_tpu.cli.generate import _load_params
 from protein_redesign_tpu.data.collate import collate_fn, numeric_batch
@@ -28,23 +33,11 @@ from protein_redesign_tpu.utils import metrics as M
 CKPT = "/tmp/prd_quality/run/checkpoints"
 DATA = "/tmp/prd_quality/data"
 NUM_SAMPLES = 4
-AA = "ACDEFGHIKLMNPQRSTVWY"
 
 params, cfg = _load_params(CKPT, num_steps=200)
 model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")
 train_ids = load_split_ids(DATA, "train")[:8]
-
-
-def helix_reference(n):
-    theta = np.deg2rad(100.0) * np.arange(n)
-    pos = np.stack(
-        [2.3 * np.cos(theta), 2.3 * np.sin(theta), 1.5 * np.arange(n)], -1
-    ).astype(np.float32)
-    prot = protein_from_sequence("A" * n)
-    ap = prot.atom_pos.copy()
-    ap[:, 1] = pos
-    return dataclasses.replace(prot, atom_pos=ap)
 
 
 def eval_ids(runner, ids, label):
@@ -53,20 +46,14 @@ def eval_ids(runner, ids, label):
         data = load_complex_cache(f"{DATA}/cache", pid)
         n_res = int(data["num_residues"])
         n_lig = int(data["num_atoms"])
-        true_seq = "".join(
-            AA[i] if 0 <= i < 20 else "X"
-            for i in np.asarray(data["residue_type"])
-        )
-        ref = helix_reference(n_res)
+        true_seq = seq_from_residue_types(data["residue_type"])
+        ref = reference_from_cache(data)
         results = runner.run(
             [data] * NUM_SAMPLES, jax.random.PRNGKey(zlib.crc32(pid.encode()))
         )
         tms, seqs = [], []
         for pos, seq_prob in results:
-            sp = protein_from_sequence(true_seq)
-            ap = sp.atom_pos.copy()
-            ap[:, 1] = pos[n_lig:n_lig + n_res]
-            sp = dataclasses.replace(sp, atom_pos=ap)
+            sp = protein_with_ca(true_seq, pos[n_lig:n_lig + n_res])
             tms.append(M.tm_scores([sp], ref)[0])
             toks = np.argmax(seq_prob[n_lig:n_lig + n_res], axis=-1)
             seqs.append("".join(("X" + AA)[t] for t in toks))

@@ -1,0 +1,135 @@
+"""Shared helpers for the synthetic-structure quality benchmarks.
+
+The synthetic cache (`prep_synth_dataset.py`) stores each complex's
+ground-truth CA trace in ``residue_atom_pos[:, 1]``, so evaluation scripts
+reconstruct the reference structure straight from the cache instead of
+re-deriving it.
+"""
+import dataclasses
+import sys
+import zlib
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from protein_redesign_tpu.chem.protein import protein_from_sequence
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+# CA-trace pseudo bond angle / dihedral (degrees) per secondary-structure
+# state: ideal alpha-helix and beta-strand values for consecutive-CA
+# geometry (|CA-CA| = 3.8 A).
+SS_GEOMETRY = {
+    "H": (89.0, 50.0),
+    "E": (124.0, -170.0),
+}
+
+# Chou-Fasman-flavoured formers: which residues pull their window toward
+# helix vs strand. Everything else tends to coil.
+HELIX_FORMERS = set("AELMQKRH")
+STRAND_FORMERS = set("VIYCWFT")
+
+
+def assign_secondary_structure(seq: str) -> str:
+    """Deterministic per-residue H/E/C assignment from smoothed residue
+    propensities, with minimum run lengths (H>=4, E>=3) eroded to coil."""
+    n = len(seq)
+    h = np.array([1.0 if c in HELIX_FORMERS else 0.0 for c in seq])
+    e = np.array([1.0 if c in STRAND_FORMERS else 0.0 for c in seq])
+    # Smooth over a 5-residue window.
+    kernel = np.ones(5) / 5.0
+    hs = np.convolve(h, kernel, mode="same")
+    es = np.convolve(e, kernel, mode="same")
+    states = []
+    for i in range(n):
+        if hs[i] >= 0.5 and hs[i] >= es[i]:
+            states.append("H")
+        elif es[i] >= 0.5 and es[i] > hs[i]:
+            states.append("E")
+        else:
+            states.append("C")
+    s = "".join(states)
+    # Erode runs shorter than the minimum into coil.
+    out = list(s)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and s[j] == s[i]:
+            j += 1
+        run = j - i
+        if (s[i] == "H" and run < 4) or (s[i] == "E" and run < 3):
+            for k in range(i, j):
+                out[k] = "C"
+        i = j
+    return "".join(out)
+
+
+def _next_ca(p0, p1, p2, theta_deg, tau_deg, r=3.8):
+    """NeRF placement of the next CA from the previous three."""
+    theta = np.deg2rad(theta_deg)
+    tau = np.deg2rad(tau_deg)
+    bc = p2 - p1
+    bc = bc / np.linalg.norm(bc)
+    ab = p1 - p0
+    n = np.cross(ab, bc)
+    n = n / (np.linalg.norm(n) + 1e-12)
+    m = np.cross(n, bc)
+    d = r * np.array(
+        [
+            -np.cos(theta),
+            np.sin(theta) * np.cos(tau),
+            np.sin(theta) * np.sin(tau),
+        ]
+    )
+    return p2 + d[0] * bc + d[1] * m + d[2] * n
+
+
+def fold_ca_trace(seq: str) -> np.ndarray:
+    """Deterministic sequence-dependent CA trace: ideal helix/strand
+    geometry on the assigned secondary structure, coil torsions drawn from
+    a local-sequence-seeded RNG (so coils are sequence-dependent too)."""
+    n = len(seq)
+    ss = assign_secondary_structure(seq)
+    pos = np.zeros((n, 3), dtype=np.float64)
+    pos[0] = (0.0, 0.0, 0.0)
+    if n > 1:
+        pos[1] = (3.8, 0.0, 0.0)
+    if n > 2:
+        pos[2] = pos[1] + 3.8 * np.array(
+            [np.cos(np.deg2rad(180 - 91)), np.sin(np.deg2rad(180 - 91)), 0.0]
+        )
+    for i in range(3, n):
+        state = ss[i - 1]
+        if state in SS_GEOMETRY:
+            theta, tau = SS_GEOMETRY[state]
+        else:
+            # Coil: torsion seeded by the local tripeptide -> deterministic
+            # per sequence, variable along the chain.
+            local_seed = zlib.crc32(seq[max(0, i - 2) : i + 1].encode())
+            rng = np.random.RandomState(local_seed)
+            theta = rng.uniform(85.0, 140.0)
+            tau = rng.uniform(-180.0, 180.0)
+        pos[i] = _next_ca(pos[i - 3], pos[i - 2], pos[i - 1], theta, tau)
+    pos = pos - pos.mean(0)
+    return pos.astype(np.float32)
+
+
+def protein_with_ca(seq: str, ca: np.ndarray):
+    prot = protein_from_sequence(seq)
+    ap = prot.atom_pos.copy()
+    ap[:, 1] = ca
+    return dataclasses.replace(prot, atom_pos=ap)
+
+
+def seq_from_residue_types(residue_type: np.ndarray) -> str:
+    return "".join(
+        AA[i] if 0 <= i < 20 else "X" for i in np.asarray(residue_type)
+    )
+
+
+def reference_from_cache(data) -> "object":
+    """Ground-truth Protein rebuilt from a cached complex dict."""
+    seq = seq_from_residue_types(data["residue_type"])
+    ca = np.asarray(data["residue_atom_pos"])[:, 1]
+    return protein_with_ca(seq, ca)

@@ -29,10 +29,15 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     )
 
 
-def _pad_after(x: np.ndarray, axis: int, before: int, after: int) -> np.ndarray:
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (before, after)
-    return np.pad(x, pad)
+def _batched_zeros(
+    data_list: Sequence[Mapping[str, Any]], k: str, N: int, pad_axes: int
+) -> np.ndarray:
+    """One zero-filled output array for field ``k`` with the first
+    ``pad_axes`` sample axes padded to N (single allocation; the generic
+    np.pad + np.stack pair was the host-pipeline hot spot on 1 core)."""
+    proto = np.asarray(data_list[0][k])
+    shape = (len(data_list),) + (N,) * pad_axes + proto.shape[pad_axes:]
+    return np.zeros(shape, proto.dtype)
 
 
 def collate_fn(
@@ -42,41 +47,36 @@ def collate_fn(
     """Collate featurized complexes into one padded batch.
 
     Key-prefix dispatch matches the reference collate (`data.py:80-142`):
-    ``atom_*`` pads the atom axis to N; ``bond_*`` pads the two trailing
+    ``atom_*`` pads the atom axis to N; ``bond_*`` pads the two leading
     complex axes; ``residue_*`` offsets by num_atoms then pads to N
     (+1 shift for ``residue_type``); ``*_mol`` stays a Python list; anything
-    else is stacked.
+    else is stacked. Padding is zero-fill, written into one preallocated
+    output array per field.
     """
     n_max = max(d["num_atoms"] + d["num_residues"] for d in data_list)
     N = pick_bucket(n_max, buckets) if buckets is not None else n_max
     batch: Dict[str, Any] = {}
     for k, v in data_list[0].items():
         if k.startswith("atom_"):
-            batch[k] = np.stack(
-                [
-                    _pad_after(np.asarray(d[k]), 0, 0, N - d["num_atoms"])
-                    for d in data_list
-                ]
-            )
+            out = _batched_zeros(data_list, k, N, 1)
+            for i, d in enumerate(data_list):
+                out[i, : d["num_atoms"]] = d[k]
+            batch[k] = out
         elif k.startswith("bond_"):
-            arrs = []
-            for d in data_list:
-                a = np.asarray(d[k])
-                a = _pad_after(a, 0, 0, N - d["num_atoms"])
-                a = _pad_after(a, 1, 0, N - d["num_atoms"])
-                arrs.append(a)
-            batch[k] = np.stack(arrs)
+            out = _batched_zeros(data_list, k, N, 2)
+            for i, d in enumerate(data_list):
+                na = d["num_atoms"]
+                out[i, :na, :na] = d[k]
+            batch[k] = out
         elif k.startswith("residue_"):
-            arrs = []
-            for d in data_list:
+            out = _batched_zeros(data_list, k, N, 1)
+            for i, d in enumerate(data_list):
+                na, nr = d["num_atoms"], d["num_residues"]
                 a = np.asarray(d[k])
                 if k.endswith("_type"):
                     a = a + 1  # 0 becomes the pad/mask class
-                a = _pad_after(
-                    a, 0, d["num_atoms"], N - d["num_atoms"] - d["num_residues"]
-                )
-                arrs.append(a)
-            batch[k] = np.stack(arrs)
+                out[i, na : na + nr] = a
+            batch[k] = out
         elif k.endswith("_mol"):
             batch[k] = [d[k] for d in data_list]
         else:
