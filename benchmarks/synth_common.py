@@ -13,9 +13,14 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-from protein_redesign_tpu.chem.protein import protein_from_sequence
+from protein_redesign_tpu.chem.protein import (
+    RESIDUE_TYPES,
+    protein_from_sequence,
+)
 
-AA = "ACDEFGHIKLMNPQRSTVWY"
+# One-letter code in MODEL VOCABULARY ORDER (reference `protein.py:28-33`,
+# "ARNDC..."), NOT alphabetical: index i here must invert aatype == i.
+AA = "".join(RESIDUE_TYPES)
 
 # CA-trace pseudo bond angle / dihedral (degrees) per secondary-structure
 # state: ideal alpha-helix and beta-strand values for consecutive-CA
