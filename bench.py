@@ -76,6 +76,11 @@ def bench_forward(model, params, bucket, n_res, iters=50):
 
 
 def main():
+    from protein_redesign_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     cfg = ModelConfig(
         single_dim=512, pair_dim=64, num_blocks=4, num_steps=NUM_STEPS
     )

@@ -34,6 +34,10 @@ CKPT = "/tmp/prd_quality/run/checkpoints"
 DATA = "/tmp/prd_quality/data"
 NUM_SAMPLES = 4
 
+from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 params, cfg = _load_params(CKPT, num_steps=200)
 model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")

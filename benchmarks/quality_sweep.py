@@ -40,6 +40,10 @@ NUM_SAMPLES = 4
 MASK_PROB = 0.15
 
 
+from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 params, cfg = _load_params(CKPT, num_steps=200)
 model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")

@@ -46,6 +46,10 @@ def main(argv=None):
 
     import jax
 
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..chem.mol import get_mol_positions, mols_to_sdf_file, update_mol_positions
     from ..chem.protein import protein_from_pdb_file, proteins_to_pdb_file
     from ..data.featurize import ligand_to_data, protein_to_data

@@ -38,6 +38,10 @@ def main(argv=None):
 
     import jax
 
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..data.featurize import ligand_to_data, protein_to_data
     from ..models.prdiff import ProteinReDiffModel
     from ..utils.esm import ESMEmbedder

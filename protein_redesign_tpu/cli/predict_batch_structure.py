@@ -47,6 +47,10 @@ def main(argv=None):
 
     import jax
 
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..chem.mol import get_mol_positions, mol_to_sdf, update_mol_positions
     from ..chem.protein import protein_to_pdb_file
     from ..data.featurize import ligand_to_data, protein_to_data

@@ -120,6 +120,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..models.prdiff import ProteinReDiffModel
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from ..utils.esm import ESMEmbedder
     from .common import (
         SamplingRunner,

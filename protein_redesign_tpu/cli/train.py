@@ -43,6 +43,10 @@ def main(argv=None):
                         help="delete save_dir first (reference train.py:28-30)")
     args = parser.parse_args(argv)
 
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = model_config_from_args(args).replace(training_mode=True)
     data_cfg = data_config_from_args(args)
     train_cfg = train_config_from_args(args)

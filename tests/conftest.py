@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# CLI mains enable the persistent XLA compilation cache; keep test runs
+# hermetic (and their logs clean of CPU AOT-loader chatter).
+os.environ.setdefault("PRD_NO_COMPILATION_CACHE", "1")
 
 import jax  # noqa: E402
 
