@@ -117,8 +117,10 @@ class FusedCategoricalEmbedding(nn.Module):
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
         total = int(sum(self.sizes))
+        # int32 (not feats.dtype): int64 inputs would request a truncated
+        # x64 dtype and warn; the gather index promotes fine either way.
         offsets = jnp.asarray(
-            np.concatenate([[0], np.cumsum(self.sizes)[:-1]]).astype(np.int32), dtype=feats.dtype
+            np.concatenate([[0], np.cumsum(self.sizes)[:-1]]).astype(np.int32)
         )
         table = self.param(
             "table",
