@@ -38,7 +38,7 @@ from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-params, cfg = _load_params(CKPT, num_steps=200)
+params, cfg = _load_params(CKPT)  # sample at the trained T
 model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")
 train_ids = load_split_ids(DATA, "train")[:8]

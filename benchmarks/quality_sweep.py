@@ -44,7 +44,7 @@ from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-params, cfg = _load_params(CKPT, num_steps=200)
+params, cfg = _load_params(CKPT)  # sample at the trained T
 model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")
 
@@ -89,7 +89,7 @@ def eval_runner(runner, label):
 
 
 CONFIGS = [
-    ("ddpm_200", dict(sampler="ddpm")),
+    ("ddpm_full", dict(sampler="ddpm")),
     ("ddim_100", dict(sampler="ddim", ddim_steps=100)),
     ("ddim_50", dict(sampler="ddim", ddim_steps=50)),
     ("ddim_25", dict(sampler="ddim", ddim_steps=25)),

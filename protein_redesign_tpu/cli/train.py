@@ -152,14 +152,16 @@ def main(argv=None):
 
     def run_validation(step_key):
         losses = []
-        for i, vb in enumerate(batches(
-            val_ds, data_cfg.batch_size, data_cfg.buckets,
-        )):
-            vb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
-                  for k, v in vb.items()}
-            losses.append(float(eval_step(
-                state, vb, jax.random.fold_in(step_key, i)
-            )))
+        for rep in range(max(1, train_cfg.val_repeats)):
+            for i, vb in enumerate(batches(
+                val_ds, data_cfg.batch_size, data_cfg.buckets,
+            )):
+                vb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                      for k, v in vb.items()}
+                losses.append(float(eval_step(
+                    state, vb,
+                    jax.random.fold_in(step_key, rep * 100_003 + i),
+                )))
         return float(np.mean(losses)) if losses else float("inf")
 
     step = int(state.step)

@@ -103,6 +103,10 @@ class TrainConfig:
     max_steps: int = -1            # -1: run until killed (ref max_epochs=-1)
     max_epochs: int = -1
     val_every_steps: int = 1000
+    val_repeats: int = 1           # avg val over this many random (t, mask)
+    #                                draws — small val sets give one-draw
+    #                                val_loss too much variance for top-k
+    #                                checkpoint selection
     log_every_steps: int = 50
     checkpoint_top_k: int = 3
     accumulate_grad_batches: int = 1
