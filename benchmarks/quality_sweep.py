@@ -3,9 +3,9 @@
 Compares the full sequential DDPM sampler against accelerated DDIM
 subsequences and the parallel-in-time Picard sampler, all from the SAME
 trained checkpoint, on the synthetic val split: mirror-aware TM-score to
-the helix reference, sequence recovery, and sequence diversity
+the cached ground-truth fold, sequence recovery, and sequence diversity
 (`utils/metrics.py`). Publishes the official serving configuration in
-BASELINE.md.
+BASELINE.md. Methodology: docs/QUALITY.md.
 
 Usage (TPU, after benchmarks/prep_synth_dataset.py + cli.train):
     python benchmarks/quality_sweep.py
@@ -13,34 +13,24 @@ Usage (TPU, after benchmarks/prep_synth_dataset.py + cli.train):
 import json
 import os
 import sys
-import zlib
 import time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
 import numpy as np
 
-from synth_common import (
-    AA,
-    protein_with_ca,
-    reference_from_cache,
-    seq_from_residue_types,
-)
+from synth_common import eval_complexes
 from protein_redesign_tpu.cli.common import SamplingRunner
 from protein_redesign_tpu.cli.generate import _load_params
-from protein_redesign_tpu.data.dataset import load_complex_cache, load_split_ids
+from protein_redesign_tpu.data.dataset import load_split_ids
 from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
-from protein_redesign_tpu.utils import metrics as M
+from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
 
 CKPT = "/tmp/prd_quality/run/checkpoints"
 DATA = "/tmp/prd_quality/data"
 NUM_SAMPLES = 4
 MASK_PROB = 0.15
-
-
-from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
@@ -50,29 +40,8 @@ val_ids = load_split_ids(DATA, "val")
 
 
 def eval_runner(runner, label):
-    rows = []
     t_start = time.perf_counter()
-    for pid in val_ids:
-        data = load_complex_cache(f"{DATA}/cache", pid)
-        n_res = int(data["num_residues"])
-        n_lig = int(data["num_atoms"])
-        true_seq = seq_from_residue_types(data["residue_type"])
-        ref = reference_from_cache(data)
-        results = runner.run(
-            [data] * NUM_SAMPLES, jax.random.PRNGKey(zlib.crc32(pid.encode()))
-        )
-        tms, seqs = [], []
-        for pos, seq_prob in results:
-            sp = protein_with_ca(true_seq, pos[n_lig:n_lig + n_res])
-            tms.append(M.tm_scores([sp], ref)[0])
-            toks = np.argmax(seq_prob[n_lig:n_lig + n_res], axis=-1)
-            seqs.append("".join(("X" + AA)[t] for t in toks))
-        rows.append({
-            "id": pid, "n_res": n_res,
-            "tm_mean": float(np.mean(tms)), "tm_max": float(np.max(tms)),
-            "recovery": M.sequence_recovery(seqs, true_seq),
-            "diversity": M.sequence_diversity(seqs),
-        })
+    rows = eval_complexes(runner, val_ids, f"{DATA}/cache", NUM_SAMPLES)
     wall = time.perf_counter() - t_start
     agg = {
         "tm_mean": float(np.mean([r["tm_mean"] for r in rows])),

@@ -138,3 +138,48 @@ def reference_from_cache(data) -> "object":
     seq = seq_from_residue_types(data["residue_type"])
     ca = np.asarray(data["residue_atom_pos"])[:, 1]
     return protein_with_ca(seq, ca)
+
+
+def eval_complexes(
+    runner, ids, cache_dir, num_samples, label="", verbose=False
+):
+    """Per-complex quality rows shared by quality_report/quality_sweep:
+    mirror-aware TM vs the cached ground-truth fold, sequence recovery and
+    diversity over ``num_samples`` designs (seeded per complex id)."""
+    import jax
+
+    from protein_redesign_tpu.data.dataset import load_complex_cache
+    from protein_redesign_tpu.utils import metrics as M
+
+    rows = []
+    for pid in ids:
+        data = load_complex_cache(cache_dir, pid)
+        n_res = int(data["num_residues"])
+        n_lig = int(data["num_atoms"])
+        true_seq = seq_from_residue_types(data["residue_type"])
+        ref = reference_from_cache(data)
+        results = runner.run(
+            [data] * num_samples,
+            jax.random.PRNGKey(zlib.crc32(pid.encode())),
+        )
+        tms, seqs = [], []
+        for pos, seq_prob in results:
+            sp = protein_with_ca(true_seq, pos[n_lig : n_lig + n_res])
+            tms.append(M.tm_scores([sp], ref)[0])
+            toks = np.argmax(seq_prob[n_lig : n_lig + n_res], axis=-1)
+            seqs.append("".join(("X" + AA)[t] for t in toks))
+        rows.append({
+            "id": pid, "n_res": n_res,
+            "tm_mean": float(np.mean(tms)), "tm_max": float(np.max(tms)),
+            "recovery": M.sequence_recovery(seqs, true_seq),
+            "diversity": M.sequence_diversity(seqs),
+        })
+        if verbose:
+            r = rows[-1]
+            print(
+                f"{label} {pid}: n={n_res} tm_mean={r['tm_mean']:.3f} "
+                f"recovery={r['recovery']:.3f} "
+                f"diversity={r['diversity']:.3f}",
+                flush=True,
+            )
+    return rows

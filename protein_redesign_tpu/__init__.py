@@ -17,7 +17,7 @@ Layer map (mirrors the reference layering, see SURVEY.md):
   cli/       train / generate / batch-predict / preprocess entry points
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Lazy top-level API (PEP 562) — keeps `import protein_redesign_tpu` free
 # of jax/flax import cost for host-side-only users (e.g. chem tooling).

@@ -24,15 +24,9 @@ def main(argv=None):
         "--pdbbind_dir", type=Path, default=Path("data/PDBbind_processed")
     )
     parser.add_argument("--cache_dir", type=Path, default=None)
-    parser.add_argument("--esm_model",
-                        default="facebook/esm2_t33_650M_UR50D",
-                        help="HF model id or local path of the ESM-2 "
-                             "checkpoint (e.g. a smaller "
-                             "esm2_t12_35M_UR50D)")
-    parser.add_argument("--esm_backend", choices=["torch", "jax"],
-                        default="torch",
-                        help="HF torch on the host, or the in-repo JAX "
-                             "ESM-2 on the default JAX platform")
+    from .common import add_esm_args
+
+    add_esm_args(parser)
     parser.add_argument("--splits", nargs="+",
                         default=["train", "val", "test"])
     parser.add_argument("--overwrite", action="store_true")
@@ -50,7 +44,8 @@ def main(argv=None):
         pdb_ids.extend(load_split_ids(args.data_dir, split))
 
     embedder = ESMEmbedder(model_name=args.esm_model,
-                           backend=args.esm_backend)
+                           backend=args.esm_backend,
+                           require=args.require_esm)
     n_ok, n_fail = 0, 0
     for pdb_id in tqdm(pdb_ids):
         out = Path(cache_dir) / pdb_id / "complex.npz"

@@ -99,10 +99,17 @@ def main(argv=None):
     key = jax.random.PRNGKey(train_cfg.seed)
     accum = train_cfg.accumulate_grad_batches
 
+    # Multi-host: every host must compile the SAME program per global
+    # step, so pin all training batches to one static bucket (each host
+    # collates its own epoch stride; per-group bucket choice would
+    # diverge across hosts -> collective mismatch).
+    n_hosts = jax.process_count()
+    fixed_bucket = max(data_cfg.buckets) if n_hosts > 1 else None
+
     # Bootstrap state from the first batch's shapes.
     first = next(batches(
         train_ds, data_cfg.batch_size, data_cfg.buckets, shuffle=True,
-        seed=train_cfg.seed, accum=accum,
+        seed=train_cfg.seed, accum=accum, fixed_bucket=fixed_bucket,
     ))
     sample = {k: v[0] if accum > 1 else v for k, v in first.items()}
     if args.trained_ckpt:
@@ -190,15 +197,23 @@ def main(argv=None):
             it = batches(
                 train_ds, data_cfg.batch_size, data_cfg.buckets,
                 shuffle=True, seed=train_cfg.seed, epoch=epoch, accum=accum,
-                num_shards=jax.process_count(),
+                num_shards=n_hosts,
                 shard_index=jax.process_index(),
+                fixed_bucket=fixed_bucket,
             )
-            it = prefetch(
-                it, size=2,
-                transform=lambda b: {
+            if n_hosts > 1:  # pragma: no cover - needs real multi-host
+                # Each host holds only its addressable shard; assemble a
+                # global array (device_put would treat the local batch as
+                # the whole global array and drop the other hosts' data).
+                to_device = lambda b: {  # noqa: E731
+                    k: jax.make_array_from_process_local_data(bsh[k], v)
+                    for k, v in b.items()
+                }
+            else:
+                to_device = lambda b: {  # noqa: E731
                     k: jax.device_put(v, bsh[k]) for k, v in b.items()
-                },
-            )
+                }
+            it = prefetch(it, size=2, transform=to_device)
             for batch in it:
                 step_key = jax.random.fold_in(key, step)
                 state, metrics = train_step(state, batch, step_key)

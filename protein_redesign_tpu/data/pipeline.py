@@ -30,12 +30,20 @@ def batches(
     drop_last: bool = False,
     num_shards: int = 1,
     shard_index: int = 0,
+    fixed_bucket: Optional[int] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Collated numeric batches; with accum > 1 the leading axis becomes
     [accum, batch, ...] for in-step gradient accumulation. num_shards /
-    shard_index stride the epoch per host (multi-host training)."""
+    shard_index stride the epoch per host (multi-host training).
+
+    ``fixed_bucket`` pads every batch to one static size. REQUIRED for
+    multi-host training: each host collates its own stride of the epoch,
+    so a per-group bucket choice would give different hosts different
+    XLA programs for the same global step (collective mismatch)."""
     from .dataset import iterate_batches
 
+    if fixed_bucket is not None:
+        buckets = (fixed_bucket,)
     group = batch_size * accum
     for samples in iterate_batches(
         dataset, group, shuffle=shuffle, seed=seed, epoch=epoch,

@@ -137,8 +137,6 @@ def _pick_tile(n: int) -> int:
     # 64 (not 128): the epilogue's [TI*TJ, D] f32 temporaries must fit the
     # 16 MB VMEM stack alongside the accumulator and pipelined blocks —
     # measured 36 MB at TI=128 (compile-time scoped-vmem OOM).
-    if n % 128 == 0:
-        return 128
     if n % 64 == 0:
         return 64
     return n  # tiny test shapes: one tile

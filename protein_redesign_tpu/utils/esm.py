@@ -106,14 +106,25 @@ class ESMEmbedder:
             import torch  # noqa: F401
             from transformers import AutoTokenizer, EsmModel
 
-            self._tokenizer = AutoTokenizer.from_pretrained(
-                self.model_name, local_files_only=True
-            )
-            self._model = EsmModel.from_pretrained(
-                self.model_name, local_files_only=True
-            ).eval()
+            try:
+                self._tokenizer = AutoTokenizer.from_pretrained(
+                    self.model_name, local_files_only=True
+                )
+                self._model = EsmModel.from_pretrained(
+                    self.model_name, local_files_only=True
+                ).eval()
+            except Exception as e:
+                # Any HF load failure (missing repo, malformed local path
+                # -> HFValidationError, offline hub) = weights unavailable.
+                raise OSError(
+                    f"cannot load HF ESM weights '{self.model_name}': {e}"
+                ) from e
             return True
-        except Exception as e:  # offline / missing weights
+        except (OSError, ImportError) as e:  # offline / missing weights only
+            # Anything else (e.g. the unsupported-architecture ValueError
+            # from load_jax_esm2, converter shape mismatches) PROPAGATES:
+            # weights were present but wrong, which must not silently
+            # degrade to the zero-embedding fallback.
             if self.require:
                 raise RuntimeError(
                     f"--require_esm set but ESM-2 weights are unavailable "

@@ -137,6 +137,13 @@ class TestPipeline:
         out = list(batches(self._ds(), 1, (16, 32), accum=2))
         assert out[0]["atom_mask"].shape[:2] == (2, 1)
 
+    def test_fixed_bucket_pins_every_batch_shape(self):
+        # Multi-host training requires one static shape per global step
+        # regardless of which samples land in each host's stride.
+        out = list(batches(self._ds(), 2, (16, 32), fixed_bucket=32))
+        assert all(b["atom_mask"].shape == (2, 32) for b in out)
+        assert all(b["bond_mask"].shape == (2, 32, 32) for b in out)
+
     def test_prefetch_preserves_order_and_errors(self):
         items = list(prefetch(iter(range(10)), size=3))
         assert items == list(range(10))

@@ -71,3 +71,23 @@ def test_default_fallback_still_zeros(monkeypatch):
     emb = ESMEmbedder(esm_dim=16)
     out = emb.embed_chain("ACDE")
     assert out.shape == (4, 16) and (out == 0).all()
+
+
+def test_wrong_architecture_propagates_not_fallback(monkeypatch):
+    """Weights PRESENT but unsupported (e.g. an ESM-1b checkpoint handed
+    to the JAX backend) must raise, not silently degrade to zero
+    embeddings; only missing-weights (OSError/ImportError) falls back."""
+    import pytest
+
+    import protein_redesign_tpu.models.esm2 as esm2
+    from protein_redesign_tpu.utils.esm import ESMEmbedder
+
+    monkeypatch.delenv("PRD_DISABLE_ESM", raising=False)
+
+    def boom(name):
+        raise ValueError("unsupported ESM architecture: esm1b")
+
+    monkeypatch.setattr(esm2, "load_jax_esm2", boom)
+    emb = ESMEmbedder(esm_dim=16, backend="jax")
+    with pytest.raises(ValueError, match="unsupported ESM architecture"):
+        emb.embed_chain("ACDE")
