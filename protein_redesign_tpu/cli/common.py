@@ -27,6 +27,7 @@ from ..chem.protein import (
 )
 from ..chem.smiles import strip_cxsmiles
 from ..data.collate import collate_fn, numeric_batch, pick_bucket
+from ..data.wire import compress_batch
 from ..models.prdiff import ProteinReDiffModel
 
 RESIDUE_TYPES_NEW = ["X"] + RESIDUE_TYPES
@@ -357,6 +358,13 @@ class SamplingRunner:
             bucket = pick_bucket(n_max, self.buckets)
             batch = numeric_batch(
                 collate_fn(group, buckets=(bucket,))
+            )
+            # Compact wire format (data/wire.py): 3.5x less host->device
+            # traffic per request; lossless except ESM->bf16, which is only
+            # applied when the model computes in bf16 anyway.
+            batch = compress_batch(
+                batch,
+                esm_bf16=jnp.dtype(self.model.cfg.dtype) == jnp.bfloat16,
             )
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             batch = self._put_batch(batch)

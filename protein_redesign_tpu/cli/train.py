@@ -157,14 +157,29 @@ def main(argv=None):
 
     manager = make_manager(save_dir / "checkpoints", train_cfg.checkpoint_top_k)
 
+    from ..data.wire import compress_batch
+
+    if train_cfg.wire_compression:
+        # ESM crosses in bf16 only when the model computes in bf16 anyway;
+        # strict-f32 runs keep a lossless wire.
+        esm_bf16 = jax.numpy.dtype(cfg.dtype) == jax.numpy.bfloat16
+        wire = lambda b: compress_batch(b, esm_bf16=esm_bf16)  # noqa: E731
+    else:
+        wire = lambda b: b  # noqa: E731
+
+    # Device-resident validation batches: transferred once, reused across
+    # repeats and validations (the eval key, not the batch, provides the
+    # (t, mask) variation).
+    val_sharding = NamedSharding(mesh, P("data"))
+    val_batches = [
+        {k: jax.device_put(v, val_sharding) for k, v in wire(vb).items()}
+        for vb in batches(val_ds, data_cfg.batch_size, data_cfg.buckets)
+    ]
+
     def run_validation(step_key):
         losses = []
         for rep in range(max(1, train_cfg.val_repeats)):
-            for i, vb in enumerate(batches(
-                val_ds, data_cfg.batch_size, data_cfg.buckets,
-            )):
-                vb = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
-                      for k, v in vb.items()}
+            for i, vb in enumerate(val_batches):
                 losses.append(float(eval_step(
                     state, vb,
                     jax.random.fold_in(step_key, rep * 100_003 + i),
@@ -188,32 +203,56 @@ def main(argv=None):
             signal.signal(sig, _on_signal)
         except ValueError:
             pass  # not on the main thread
+    if n_hosts > 1:  # pragma: no cover - needs real multi-host
+        # Each host holds only its addressable shard; assemble a
+        # global array (device_put would treat the local batch as
+        # the whole global array and drop the other hosts' data).
+        to_device = lambda b: {  # noqa: E731
+            k: jax.make_array_from_process_local_data(bsh[k], v)
+            for k, v in wire(b).items()
+        }
+    else:
+        to_device = lambda b: {  # noqa: E731
+            k: jax.device_put(v, bsh[k]) for k, v in wire(b).items()
+        }
+
+    # --cache_device_batches: transfer the epoch-0 batches once and keep
+    # them device-resident; later epochs permute batch ORDER only (not
+    # composition). Removes all steady-state host->device traffic — the
+    # latency win for small datasets, and on tunneled platforms (axon) the
+    # only way to fully avoid the client's per-transfer host-memory leak.
+    cached_batches = None
+    if train_cfg.cache_device_batches:
+        cached_batches = [to_device(b) for b in batches(
+            train_ds, data_cfg.batch_size, data_cfg.buckets,
+            shuffle=True, seed=train_cfg.seed, epoch=0, accum=accum,
+            num_shards=n_hosts, shard_index=jax.process_index(),
+            fixed_bucket=fixed_bucket,
+        )]
+        print(f"device batch cache: {len(cached_batches)} batches resident")
+
     with maybe_profile(save_dir, args.profile):
         while not stop:
-            # Per-host epoch sharding (DistributedSampler semantics): each
-            # process reads only its stride of the shared permutation.
-            # Validation deliberately stays unsharded so every host reaches
-            # the same val_loss and checkpoint decisions.
-            it = batches(
-                train_ds, data_cfg.batch_size, data_cfg.buckets,
-                shuffle=True, seed=train_cfg.seed, epoch=epoch, accum=accum,
-                num_shards=n_hosts,
-                shard_index=jax.process_index(),
-                fixed_bucket=fixed_bucket,
-            )
-            if n_hosts > 1:  # pragma: no cover - needs real multi-host
-                # Each host holds only its addressable shard; assemble a
-                # global array (device_put would treat the local batch as
-                # the whole global array and drop the other hosts' data).
-                to_device = lambda b: {  # noqa: E731
-                    k: jax.make_array_from_process_local_data(bsh[k], v)
-                    for k, v in b.items()
-                }
+            if cached_batches is not None:
+                order = np.random.RandomState(
+                    train_cfg.seed + 7919 * (epoch + 1)
+                ).permutation(len(cached_batches))
+                it = (cached_batches[i] for i in order)
             else:
-                to_device = lambda b: {  # noqa: E731
-                    k: jax.device_put(v, bsh[k]) for k, v in b.items()
-                }
-            it = prefetch(it, size=2, transform=to_device)
+                # Per-host epoch sharding (DistributedSampler semantics):
+                # each process reads only its stride of the shared
+                # permutation. Validation deliberately stays unsharded so
+                # every host reaches the same val_loss and checkpoint
+                # decisions.
+                it = batches(
+                    train_ds, data_cfg.batch_size, data_cfg.buckets,
+                    shuffle=True, seed=train_cfg.seed, epoch=epoch,
+                    accum=accum,
+                    num_shards=n_hosts,
+                    shard_index=jax.process_index(),
+                    fixed_bucket=fixed_bucket,
+                )
+                it = prefetch(it, size=2, transform=to_device)
             for batch in it:
                 step_key = jax.random.fold_in(key, step)
                 state, metrics = train_step(state, batch, step_key)

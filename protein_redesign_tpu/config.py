@@ -113,6 +113,16 @@ class TrainConfig:
     num_devices: int = -1          # -1: all visible devices
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None=auto
     gradient_clip_norm: float = 0.0  # 0 disables
+    wire_compression: bool = True  # compact host->device batch dtypes
+    #                                (data/wire.py): 3.5x less transfer
+    #                                traffic, and bounds the tunneled-TPU
+    #                                client's per-transfer host leak
+    cache_device_batches: bool = False  # transfer every batch ONCE and
+    #                                reuse across epochs (shuffling batch
+    #                                order, not composition). For datasets
+    #                                whose collated batches fit in HBM;
+    #                                eliminates steady-state host->device
+    #                                traffic entirely
 
 
 def _add_dataclass_args(parser: ArgumentParser, cls: type, group: str) -> None:

@@ -241,7 +241,12 @@ class ProteinReDiffModel:
         cfg = self.cfg
         training = cfg.training_mode if training is None else training
         mask_prob = cfg.mask_prob if mask_prob is None else mask_prob
-        batch = dict(batch)
+        # Accept the compact wire format (data/wire.py) transparently: every
+        # compute path funnels through here, so decompressing once restores
+        # canonical dtypes for the whole jitted program.
+        from ..data.wire import decompress_batch
+
+        batch = decompress_batch(batch)
 
         atom_pos = batch["atom_pos"]
         atom_mask = batch["atom_mask"]

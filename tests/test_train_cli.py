@@ -81,3 +81,35 @@ def test_train_cli_runs_and_resumes(mini_data, tmp_path):
     state, cfg = load_checkpoint(ckpt_dir)
     assert int(state.step) >= 3
     assert cfg.single_dim == 16
+
+
+def test_train_cli_device_batch_cache(mini_data, tmp_path, capsys):
+    """--cache_device_batches: batches transferred once, reused across
+    epochs (the axon host-leak workaround / zero-steady-state-transfer
+    path) must train to finite losses like the streaming path."""
+    import json
+
+    from protein_redesign_tpu.cli.train import main
+
+    save_dir = tmp_path / "run_cached"
+    main([
+        "--save_dir", str(save_dir),
+        "--data_dir", str(mini_data),
+        "--batch_size", "2",
+        "--buckets", "16,24",
+        "--esm_dim", "16", "--time_dim", "8", "--dist_dim", "8",
+        "--single_dim", "16", "--pair_dim", "8", "--head_dim", "4",
+        "--num_heads", "2", "--num_blocks", "1", "--num_steps", "4",
+        "--dtype", "float32",
+        "--max_steps", "5", "--val_every_steps", "4",
+        "--log_every_steps", "1", "--warmup_steps", "2",
+        "--cache_device_batches",
+    ])
+    out = capsys.readouterr().out
+    assert "device batch cache:" in out
+    metrics = [
+        json.loads(l)
+        for l in (save_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    losses = [m["train_loss"] for m in metrics if "train_loss" in m]
+    assert len(losses) >= 5 and all(np.isfinite(losses))
