@@ -26,12 +26,27 @@ def make_manager(
     top_k: int = 3,
 ) -> ocp.CheckpointManager:
     """CheckpointManager keeping the top-k lowest val_loss plus the latest
-    (Lightning's save_top_k=3 + save_last, `train.py:40-45`)."""
+    (Lightning's save_top_k=3 + save_last, `train.py:40-45`).
+
+    The two retention rules must be COMBINED policies, not
+    ``max_to_keep=top_k+1`` with a ``best_fn``: that variant ranks purely
+    by val_loss, so the newest checkpoint is deleted whenever it is not
+    top-k and a crash then resumes from the last top-k step instead of the
+    last save (lost ~2200 steps in a real OOM-killed run)."""
+    from orbax.checkpoint import checkpoint_managers as cm
+
     options = ocp.CheckpointManagerOptions(
-        max_to_keep=top_k + 1,
-        best_fn=lambda metrics: metrics.get("val_loss", float("inf")),
-        best_mode="min",
-        keep_checkpoints_without_metrics=True,
+        preservation_policy=cm.AnyPreservationPolicy([
+            cm.BestN(
+                get_metric_fn=lambda m: m.get("val_loss", float("inf")),
+                n=top_k,
+                # BestN keeps the n LARGEST metrics by default; val_loss
+                # is lower-is-better.
+                reverse=True,
+                keep_checkpoints_without_metrics=True,
+            ),
+            cm.LatestN(1),
+        ]),
         create=True,
     )
     return ocp.CheckpointManager(Path(directory).absolute(), options=options)

@@ -162,10 +162,14 @@ class TestCheckpoint:
             model, TrainConfig(), jax.random.PRNGKey(0), batch
         )
         manager = make_manager(tmp_path / "ckpt", top_k=2)
-        for s, vl in ((1, 5.0), (2, 1.0), (3, 4.0), (4, 2.0)):
+        # The latest save (step 5) has the WORST val_loss: a best-only
+        # policy would delete it and a crash would resume from step 4,
+        # losing progress — it must be preserved alongside the top-k.
+        for s, vl in ((1, 5.0), (2, 1.0), (3, 4.0), (4, 2.0), (5, 9.0)):
             state = state.replace(step=jnp.asarray(s, jnp.int32))
             save_checkpoint(manager, state, TINY, val_loss=vl)
         manager.wait_until_finished()
         steps = set(manager.all_steps())
-        assert 2 in steps  # best val_loss kept
-        assert 4 in steps  # latest kept
+        assert 2 in steps and 4 in steps  # top-2 val_loss kept
+        assert 5 in steps  # latest kept even though worst
+        assert 1 not in steps and 3 not in steps  # evicted
