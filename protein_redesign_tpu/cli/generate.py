@@ -150,7 +150,9 @@ def _load_params(ckpt_path: Path, **overrides):
 
     if (Path(ckpt_path) / "config.json").exists():
         return load_params_only(ckpt_path, **overrides)
-    state, cfg = load_checkpoint(ckpt_path, **overrides)
+    # prefer="best": sample from the lowest-val_loss checkpoint (Lightning's
+    # best_model_path semantics), not whatever save happens to be newest.
+    state, cfg = load_checkpoint(ckpt_path, prefer="best", **overrides)
     return state.ema_params, cfg  # inference under EMA (`model.py:250-251`)
 
 

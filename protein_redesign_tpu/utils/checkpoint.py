@@ -36,6 +36,10 @@ def make_manager(
     from orbax.checkpoint import checkpoint_managers as cm
 
     options = ocp.CheckpointManagerOptions(
+        # best_fn no longer drives retention (the preservation policy
+        # does); it powers manager.best_step() for prefer="best" loads.
+        best_fn=lambda metrics: metrics.get("val_loss", float("inf")),
+        best_mode="min",
         preservation_policy=cm.AnyPreservationPolicy([
             cm.BestN(
                 get_metric_fn=lambda m: m.get("val_loss", float("inf")),
@@ -74,10 +78,17 @@ def load_checkpoint(
     directory: Union[str, Path],
     step: Optional[int] = None,
     target_factory: Optional[Any] = None,
+    prefer: str = "latest",
     **config_overrides: Any,
 ) -> Tuple[TrainState, ModelConfig]:
     """Restore (TrainState, ModelConfig); kwargs override config fields
     (e.g. ``num_steps=1000`` for generation).
+
+    ``prefer`` selects the step when ``step`` is None: "latest" (resume
+    semantics — continue from the most recent save) or "best" (inference
+    semantics — lowest recorded val_loss, Lightning's ``best_model_path``;
+    falls back to latest when no metrics are on record, e.g. after a
+    manager restart).
 
     Without ``target_factory`` the state comes back with plain-dict leaves —
     fine for inference (params/ema_params are dicts anyway) but the optax
@@ -86,7 +97,10 @@ def load_checkpoint(
     structure, e.g. a fresh ``make_train_state``)."""
     manager = make_manager(directory)
     if step is None:
-        step = manager.latest_step()
+        if prefer == "best":
+            step = manager.best_step()
+        if step is None:
+            step = manager.latest_step()
     if step is None:
         raise FileNotFoundError(f"No checkpoints under {directory}")
     cfg_restored = manager.restore(

@@ -173,3 +173,11 @@ class TestCheckpoint:
         assert 2 in steps and 4 in steps  # top-2 val_loss kept
         assert 5 in steps  # latest kept even though worst
         assert 1 not in steps and 3 not in steps  # evicted
+
+        # Inference loads the BEST checkpoint; resume loads the LATEST.
+        from protein_redesign_tpu.utils.checkpoint import load_checkpoint
+
+        best, _ = load_checkpoint(tmp_path / "ckpt", prefer="best")
+        assert int(best.step) == 2
+        latest, _ = load_checkpoint(tmp_path / "ckpt")
+        assert int(latest.step) == 5
