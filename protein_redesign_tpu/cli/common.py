@@ -359,7 +359,7 @@ class SamplingRunner:
             batch = numeric_batch(
                 collate_fn(group, buckets=(bucket,))
             )
-            # Compact wire format (data/wire.py): 3.5x less host->device
+            # Compact wire format (data/wire.py): 2.9x less host->device
             # traffic per request; lossless except ESM->bf16, which is only
             # applied when the model computes in bf16 anyway.
             batch = compress_batch(

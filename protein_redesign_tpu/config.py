@@ -114,7 +114,7 @@ class TrainConfig:
     mesh_shape: Optional[Tuple[int, int]] = None  # (data, model); None=auto
     gradient_clip_norm: float = 0.0  # 0 disables
     wire_compression: bool = True  # compact host->device batch dtypes
-    #                                (data/wire.py): 3.5x less transfer
+    #                                (data/wire.py): 2.9x less transfer
     #                                traffic, and bounds the tunneled-TPU
     #                                client's per-transfer host leak
     cache_device_batches: bool = False  # transfer every batch ONCE and

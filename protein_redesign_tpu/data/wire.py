@@ -18,7 +18,8 @@ round-trip exactly; ``residue_esm`` crosses in bfloat16, which is
 numerics-neutral for the default bf16 compute policy (the embedding head
 casts to bf16 regardless, `models/prdiff.py` embed_residue_esm).
 
-Wire sizes at bucket 256, B=8: 16.2 MB -> 4.6 MB (3.5x).
+Wire sizes at bucket 256, B=8: 13.8 MB -> 4.8 MB at esm_dim 320 (2.9x);
+21.3 MB -> 8.5 MB at esm_dim 1280 (2.5x).
 """
 
 from __future__ import annotations

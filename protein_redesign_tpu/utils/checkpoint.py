@@ -95,6 +95,8 @@ def load_checkpoint(
     ``opt_state`` loses its NamedTuple structure. For resuming training,
     pass ``target_factory(cfg) -> TrainState`` (a template with the right
     structure, e.g. a fresh ``make_train_state``)."""
+    if prefer not in ("latest", "best"):
+        raise ValueError(f"prefer must be 'latest' or 'best', got {prefer!r}")
     manager = make_manager(directory)
     if step is None:
         if prefer == "best":
