@@ -62,8 +62,9 @@ out["val_random_init"] = eval_ids(control, val_ids, "control")
 for split, rows in out.items():
     tm = np.mean([r["tm_mean"] for r in rows])
     rec = np.mean([r["recovery"] for r in rows])
+    recm = np.nanmean([r["recovery_masked"] for r in rows])
     div = np.mean([r["diversity"] for r in rows])
     print(f"== {split}: TM(mean)={tm:.3f} recovery={rec:.3f} "
-          f"diversity={div:.3f}")
+          f"recovery_masked={recm:.3f} diversity={div:.3f}")
 json.dump(out, open("/tmp/prd_quality/report.json", "w"), indent=1)
 print("report written")

@@ -47,12 +47,17 @@ def eval_runner(runner, label):
         "tm_mean": float(np.mean([r["tm_mean"] for r in rows])),
         "tm_max": float(np.mean([r["tm_max"] for r in rows])),
         "recovery": float(np.mean([r["recovery"] for r in rows])),
+        "recovery_masked": float(
+            np.nanmean([r["recovery_masked"] for r in rows])
+        ),
         "diversity": float(np.mean([r["diversity"] for r in rows])),
         "wall_s_incl_compile": round(wall, 1),
         "rows": rows,
     }
     print(f"== {label}: TM={agg['tm_mean']:.3f} (max {agg['tm_max']:.3f}) "
-          f"recovery={agg['recovery']:.3f} diversity={agg['diversity']:.3f} "
+          f"recovery={agg['recovery']:.3f} "
+          f"recovery_masked={agg['recovery_masked']:.3f} "
+          f"diversity={agg['diversity']:.3f} "
           f"wall={wall:.0f}s", flush=True)
     return agg
 

@@ -140,12 +140,45 @@ def reference_from_cache(data) -> "object":
     return protein_with_ca(seq, ca)
 
 
+def _redesigned_positions(runner, data, num_samples, key):
+    """Reproduce the per-design masked (redesigned) residue positions.
+
+    ``SamplingRunner.run`` splits the key once per batch group and the
+    sampler hands the first 4-way subkey to prepare_batch
+    (``ProteinReDiffModel.inference_extra_mask``); with num_samples <=
+    batch_size there is exactly one group, so the draw is recoverable
+    host-side. Returns [num_samples, n_res] bool (True = was masked)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_redesign_tpu.data.collate import (
+        collate_fn,
+        numeric_batch,
+        pick_bucket,
+    )
+
+    assert num_samples <= runner.batch_size, "single-group assumption"
+    n_lig = int(data["num_atoms"])
+    n_res = int(data["num_residues"])
+    sub = jax.random.split(key)[1]
+    bucket = pick_bucket(n_lig + n_res, runner.buckets)
+    cb = numeric_batch(collate_fn([data] * num_samples, buckets=(bucket,)))
+    _, inv = runner.model.inference_extra_mask(
+        sub, jnp.asarray(cb["residue_mask"]), runner.mask_prob
+    )
+    return np.asarray(inv)[:, n_lig : n_lig + n_res] > 0.5
+
+
 def eval_complexes(
     runner, ids, cache_dir, num_samples, label="", verbose=False
 ):
     """Per-complex quality rows shared by quality_report/quality_sweep:
-    mirror-aware TM vs the cached ground-truth fold, sequence recovery and
-    diversity over ``num_samples`` designs (seeded per complex id)."""
+    mirror-aware TM vs the cached ground-truth fold, sequence recovery
+    (overall AND restricted to the redesigned/masked positions — at
+    mask_prob 0.15 overall recovery is ~0.86 even for a model that copies
+    the 85% known residues and guesses the rest, so the masked-position
+    number is the honest one) and diversity over ``num_samples`` designs
+    (seeded per complex id)."""
     import jax
 
     from protein_redesign_tpu.data.dataset import load_complex_cache
@@ -158,20 +191,28 @@ def eval_complexes(
         n_lig = int(data["num_atoms"])
         true_seq = seq_from_residue_types(data["residue_type"])
         ref = reference_from_cache(data)
-        results = runner.run(
-            [data] * num_samples,
-            jax.random.PRNGKey(zlib.crc32(pid.encode())),
-        )
-        tms, seqs = [], []
-        for pos, seq_prob in results:
+        key = jax.random.PRNGKey(zlib.crc32(pid.encode()))
+        results = runner.run([data] * num_samples, key)
+        masked = _redesigned_positions(runner, data, num_samples, key)
+        tms, seqs, rec_masked = [], [], []
+        for row, (pos, seq_prob) in enumerate(results):
             sp = protein_with_ca(true_seq, pos[n_lig : n_lig + n_res])
             tms.append(M.tm_scores([sp], ref)[0])
             toks = np.argmax(seq_prob[n_lig : n_lig + n_res], axis=-1)
-            seqs.append("".join(("X" + AA)[t] for t in toks))
+            s = "".join(("X" + AA)[t] for t in toks)
+            seqs.append(s)
+            mpos = np.nonzero(masked[row])[0].tolist()
+            if mpos:
+                rec_masked.append(
+                    M.sequence_recovery([s], true_seq, masked_only=mpos)
+                )
         rows.append({
             "id": pid, "n_res": n_res,
             "tm_mean": float(np.mean(tms)), "tm_max": float(np.max(tms)),
             "recovery": M.sequence_recovery(seqs, true_seq),
+            "recovery_masked": (
+                float(np.mean(rec_masked)) if rec_masked else float("nan")
+            ),
             "diversity": M.sequence_diversity(seqs),
         })
         if verbose:
@@ -179,6 +220,7 @@ def eval_complexes(
             print(
                 f"{label} {pid}: n={n_res} tm_mean={r['tm_mean']:.3f} "
                 f"recovery={r['recovery']:.3f} "
+                f"recovery_masked={r['recovery_masked']:.3f} "
                 f"diversity={r['diversity']:.3f}",
                 flush=True,
             )

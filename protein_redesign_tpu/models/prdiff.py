@@ -402,6 +402,27 @@ class ProteinReDiffModel:
         loss = jnp.mean(diff_loss / num_nodes)
         return loss, {"loss": loss}
 
+    def inference_extra_mask(
+        self,
+        key: jax.Array,
+        residue_mask: jnp.ndarray,
+        mask_prob: Optional[float] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The exact (extra_mask, inv_mask) pair the samplers draw for this
+        sampling key: every sampler (``sample``, ``sample_ddim``,
+        ``paratime.sample_ddim_parallel``) splits its key 4 ways and hands
+        the FIRST subkey to ``prepare_batch``, whose inference branch calls
+        ``random_mask`` with it. Lets evaluation code recover which residue
+        positions were actually redesigned (inv_mask == 1) without changing
+        the reference ``predict_step`` return contract
+        (`/root/reference/ProteinReDiff/model.py:249-252`). Must stay in
+        lockstep with the key splits in the samplers below."""
+        mask_prob = self.cfg.mask_prob if mask_prob is None else mask_prob
+        k_prep = jax.random.split(key, 4)[0]
+        return random_mask(
+            k_prep, residue_mask, jnp.asarray(mask_prob, jnp.float32)
+        )
+
     # -------------------------------------------------------------- sampling
     def sample(
         self,
