@@ -39,9 +39,11 @@ model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")
 
 
-def eval_runner(runner, label):
+def eval_runner(runner, label, mask_prob=None):
     t_start = time.perf_counter()
-    rows = eval_complexes(runner, val_ids, f"{DATA}/cache", NUM_SAMPLES)
+    rows = eval_complexes(
+        runner, val_ids, f"{DATA}/cache", NUM_SAMPLES, mask_prob=mask_prob
+    )
     wall = time.perf_counter() - t_start
     agg = {
         "tm_mean": float(np.mean([r["tm_mean"] for r in rows])),
@@ -72,11 +74,21 @@ CONFIGS = [
 ]
 
 out = {}
+ddpm_runner = None
 for label, kw in CONFIGS:
     runner = SamplingRunner(
         model, params, batch_size=NUM_SAMPLES, mask_prob=MASK_PROB, **kw
     )
+    if kw.get("sampler") == "ddpm":
+        ddpm_runner = runner
     out[label] = eval_runner(runner, label)
+
+# Mask-fraction sweep: mask_prob is a TRACED argument of the compiled
+# sampler, so these rows reuse the DDPM runner with zero recompiles.
+for mp in (0.3, 0.5, 1.0):
+    out[f"ddpm_mask{int(mp * 100)}"] = eval_runner(
+        ddpm_runner, f"ddpm_mask{int(mp * 100)}", mask_prob=mp
+    )
 
 json.dump(out, open("/tmp/prd_quality/sweep.json", "w"), indent=1)
 print("sweep written to /tmp/prd_quality/sweep.json")

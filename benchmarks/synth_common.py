@@ -140,7 +140,7 @@ def reference_from_cache(data) -> "object":
     return protein_with_ca(seq, ca)
 
 
-def _redesigned_positions(runner, data, num_samples, key):
+def _redesigned_positions(runner, data, num_samples, key, mask_prob=None):
     """Reproduce the per-design masked (redesigned) residue positions.
 
     ``SamplingRunner.run`` splits the key once per batch group and the
@@ -163,14 +163,16 @@ def _redesigned_positions(runner, data, num_samples, key):
     sub = jax.random.split(key)[1]
     bucket = pick_bucket(n_lig + n_res, runner.buckets)
     cb = numeric_batch(collate_fn([data] * num_samples, buckets=(bucket,)))
+    mp = runner.mask_prob if mask_prob is None else mask_prob
     _, inv = runner.model.inference_extra_mask(
-        sub, jnp.asarray(cb["residue_mask"]), runner.mask_prob
+        sub, jnp.asarray(cb["residue_mask"]), mp
     )
     return np.asarray(inv)[:, n_lig : n_lig + n_res] > 0.5
 
 
 def eval_complexes(
-    runner, ids, cache_dir, num_samples, label="", verbose=False
+    runner, ids, cache_dir, num_samples, label="", verbose=False,
+    mask_prob=None,
 ):
     """Per-complex quality rows shared by quality_report/quality_sweep:
     mirror-aware TM vs the cached ground-truth fold, sequence recovery
@@ -192,8 +194,10 @@ def eval_complexes(
         true_seq = seq_from_residue_types(data["residue_type"])
         ref = reference_from_cache(data)
         key = jax.random.PRNGKey(zlib.crc32(pid.encode()))
-        results = runner.run([data] * num_samples, key)
-        masked = _redesigned_positions(runner, data, num_samples, key)
+        results = runner.run([data] * num_samples, key, mask_prob=mask_prob)
+        masked = _redesigned_positions(
+            runner, data, num_samples, key, mask_prob=mask_prob
+        )
         tms, seqs, rec_masked = [], [], []
         for row, (pos, seq_prob) in enumerate(results):
             sp = protein_with_ca(true_seq, pos[n_lig : n_lig + n_res])
