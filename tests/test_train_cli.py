@@ -1,6 +1,7 @@
 """End-to-end train CLI smoke test on a synthetic mini-dataset (CPU mesh)."""
 
 import json
+import jax
 import numpy as np
 import pytest
 
@@ -81,6 +82,40 @@ def test_train_cli_runs_and_resumes(mini_data, tmp_path):
     state, cfg = load_checkpoint(ckpt_dir)
     assert int(state.step) >= 3
     assert cfg.single_dim == 16
+
+
+def test_export_params_cli(mini_data, tmp_path):
+    """Train a couple of steps, export the best checkpoint's EMA weights,
+    and load the artifact the way the inference CLIs do."""
+    from protein_redesign_tpu.cli.export_params import main as export_main
+    from protein_redesign_tpu.cli.train import main as train_main
+    from protein_redesign_tpu.utils.checkpoint import (
+        load_checkpoint,
+        load_params_only,
+    )
+
+    save_dir = tmp_path / "run_exp"
+    train_main([
+        "--save_dir", str(save_dir),
+        "--data_dir", str(mini_data),
+        "--batch_size", "2",
+        "--buckets", "16,24",
+        "--esm_dim", "16", "--time_dim", "8", "--dist_dim", "8",
+        "--single_dim", "16", "--pair_dim", "8", "--head_dim", "4",
+        "--num_heads", "2", "--num_blocks", "1", "--num_steps", "4",
+        "--dtype", "float32",
+        "--max_steps", "2", "--val_every_steps", "2",
+        "--log_every_steps", "1", "--warmup_steps", "2",
+    ])
+    out = tmp_path / "export"
+    export_main([str(save_dir / "checkpoints"), str(out)])
+    params, cfg = load_params_only(out, num_steps=7)
+    assert cfg.num_steps == 7  # per-load override works on the export
+    assert cfg.single_dim == 16
+    state, _ = load_checkpoint(save_dir / "checkpoints", prefer="best")
+    ref_leaf = jax.tree_util.tree_leaves(state.ema_params)[0]
+    exp_leaf = jax.tree_util.tree_leaves(params)[0]
+    np.testing.assert_array_equal(np.asarray(exp_leaf), np.asarray(ref_leaf))
 
 
 def test_train_cli_device_batch_cache(mini_data, tmp_path, capsys):
