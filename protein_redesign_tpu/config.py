@@ -123,6 +123,11 @@ class TrainConfig:
     #                                whose collated batches fit in HBM;
     #                                eliminates steady-state host->device
     #                                traffic entirely
+    lr_decay_steps: int = 0        # >0: cosine-decay the LR over this many
+    #                                steps after warmup (beyond reference,
+    #                                whose LinearLR ramps then stays
+    #                                constant — models plateau-oscillate)
+    lr_min_ratio: float = 0.1      # decay floor as a fraction of peak LR
 
 
 def _add_dataclass_args(parser: ArgumentParser, cls: type, group: str) -> None:

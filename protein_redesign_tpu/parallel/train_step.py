@@ -35,12 +35,26 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: ModelConfig, train_cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with the reference's LinearLR warmup (`model.py:203-213`):
-    lr ramps from lr/warmup to lr over warmup-1 steps, then stays."""
-    schedule = optax.linear_schedule(
+    lr ramps from lr/warmup to lr over warmup-1 steps, then stays —
+    unless ``TrainConfig.lr_decay_steps`` > 0, which appends a cosine
+    decay to ``lr * lr_min_ratio`` (beyond reference; constant post-warmup
+    LR makes small-data runs plateau-oscillate)."""
+    warmup = optax.linear_schedule(
         init_value=cfg.learning_rate / cfg.warmup_steps,
         end_value=cfg.learning_rate,
         transition_steps=max(cfg.warmup_steps - 1, 1),
     )
+    if train_cfg.lr_decay_steps > 0:
+        decay = optax.cosine_decay_schedule(
+            init_value=cfg.learning_rate,
+            decay_steps=train_cfg.lr_decay_steps,
+            alpha=train_cfg.lr_min_ratio,
+        )
+        schedule = optax.join_schedules(
+            [warmup, decay], boundaries=[max(cfg.warmup_steps - 1, 1)]
+        )
+    else:
+        schedule = warmup
     tx = [optax.scale_by_adam()]
     if train_cfg.gradient_clip_norm > 0:
         tx.insert(0, optax.clip_by_global_norm(train_cfg.gradient_clip_norm))

@@ -181,3 +181,45 @@ class TestCheckpoint:
         assert int(best.step) == 2
         latest, _ = load_checkpoint(tmp_path / "ckpt")
         assert int(latest.step) == 5
+
+
+def test_lr_decay_schedule():
+    """lr_decay_steps appends a cosine decay after the reference warmup;
+    default (0) keeps the reference's ramp-then-constant LinearLR."""
+    from protein_redesign_tpu.parallel.train_step import make_optimizer  # noqa: F401
+    import optax  # noqa: F401
+    from protein_redesign_tpu.config import ModelConfig, TrainConfig
+
+    cfg = ModelConfig(learning_rate=1e-3, warmup_steps=10)
+
+    def lr_at(train_cfg, step):
+        # Rebuild the schedule exactly as make_optimizer does.
+        warmup = optax.linear_schedule(
+            init_value=cfg.learning_rate / cfg.warmup_steps,
+            end_value=cfg.learning_rate,
+            transition_steps=max(cfg.warmup_steps - 1, 1),
+        )
+        if train_cfg.lr_decay_steps > 0:
+            decay = optax.cosine_decay_schedule(
+                init_value=cfg.learning_rate,
+                decay_steps=train_cfg.lr_decay_steps,
+                alpha=train_cfg.lr_min_ratio,
+            )
+            sched = optax.join_schedules(
+                [warmup, decay], boundaries=[max(cfg.warmup_steps - 1, 1)]
+            )
+        else:
+            sched = warmup
+        return float(sched(step))
+
+    const = TrainConfig()
+    assert lr_at(const, 0) == pytest.approx(1e-4)
+    assert lr_at(const, 9) == pytest.approx(1e-3)
+    assert lr_at(const, 10_000) == pytest.approx(1e-3)  # constant forever
+
+    dec = TrainConfig(lr_decay_steps=100, lr_min_ratio=0.1)
+    assert lr_at(dec, 9) == pytest.approx(1e-3)          # warmup peak
+    assert lr_at(dec, 59) == pytest.approx(
+        1e-4 + (1e-3 - 1e-4) * (1 + np.cos(np.pi * 50 / 100)) / 2, rel=1e-3
+    )
+    assert lr_at(dec, 10_000) == pytest.approx(1e-4, rel=1e-3)  # floor
