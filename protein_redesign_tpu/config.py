@@ -67,6 +67,16 @@ class ModelConfig:
     #                                  ('data','model') mesh context.
     fast_softmax: bool = False     # bf16 attention probabilities (serving
                                    # speed; breaks strict fp32 parity)
+    loss_mode: str = "reference"   # "reference": the exact quirky
+    #                                reductions (scalar-broadcast KL/CE,
+    #                                (seq_pred+1)/2 as CE logits,
+    #                                model.py:504-526). "per_position":
+    #                                principled per-sample terms — true
+    #                                logits, CE restricted to the MASKED
+    #                                residues (the actual design targets;
+    #                                under the reference loss their
+    #                                recovery stays at chance, BASELINE.md
+    #                                quality tables)
 
     @property
     def num_residue_classes(self) -> int:

@@ -361,10 +361,10 @@ class ProteinReDiffModel:
         seq_pred_t1 = sac1 * seq_pred + s1mac1 * noise_seq
 
         # (a) coordinate MSE, per sample
-        diff_loss = jnp.sum(
+        mse = jnp.sum(
             mask[..., None] * jnp.square(noise_pred - noise_z), axis=(-1, -2)
         )
-        # (b) KL(log_softmax(pred_t1)*m || softmax(seq_t1)*m).sum() — scalar
+        # (b) KL(log_softmax(pred_t1)*m || softmax(seq_t1)*m)
         rm = residue_mask[..., None]
         log_p = jax.nn.log_softmax(seq_pred_t1, axis=-1) * rm
         q_tgt = jax.nn.softmax(seq_t1, axis=-1) * rm
@@ -374,10 +374,36 @@ class ProteinReDiffModel:
             q_tgt > 0, q_tgt * (jnp.log(jnp.where(q_tgt > 0, q_tgt, 1.0)) - log_p),
             -q_tgt * log_p,
         )
-        diff_loss = diff_loss + jnp.sum(kl)
-        # (c) CE((seq_pred+1)/2 as logits, labels, ignore_index=0)*mask — scalar
-        logits = (seq_pred + 1.0) / 2.0
         labels = batch["residue_type"]
+
+        if self.cfg.loss_mode == "per_position":
+            # Principled variant (beyond reference): per-sample reductions,
+            # TRUE logits for the CE, and CE restricted to the residues
+            # that were actually masked — the design targets. Under the
+            # reference reductions their recovery stays at chance
+            # (BASELINE.md quality tables). Each term is self-normalized
+            # so loss() skips the 1/num_nodes division.
+            num_nodes = jnp.maximum(jnp.sum(mask > 0.5, axis=-1), 1)
+            num_res = jnp.maximum(jnp.sum(residue_mask, axis=-1), 1.0)
+            log_probs = jax.nn.log_softmax(seq_pred, axis=-1)
+            nll = -jnp.take_along_axis(
+                log_probs, labels[..., None], axis=-1
+            )[..., 0]
+            sel = batch["residue_inv_extra_mask"] * (labels != 0)
+            ce = jnp.sum(nll * sel, axis=-1) / jnp.maximum(
+                jnp.sum(sel, axis=-1), 1.0
+            )
+            return (
+                mse / num_nodes
+                + jnp.sum(kl, axis=(-1, -2)) / num_res
+                + ce
+            )
+
+        # Reference mode: KL and CE are .sum() SCALARS broadcast onto the
+        # per-sample vector (`model.py:518,525`), CE logits are
+        # (seq_pred+1)/2, labels at every non-pad position.
+        diff_loss = mse + jnp.sum(kl)
+        logits = (seq_pred + 1.0) / 2.0
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(
             log_probs, labels[..., None], axis=-1
@@ -391,6 +417,11 @@ class ProteinReDiffModel:
         training: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Scalar training/validation loss (`model.py:528-549`)."""
+        if self.cfg.loss_mode not in ("reference", "per_position"):
+            raise ValueError(
+                f"loss_mode must be 'reference' or 'per_position', "
+                f"got {self.cfg.loss_mode!r}"
+            )
         k_prep, k_t, k_loss = jax.random.split(key, 3)
         batch = self.prepare_batch(batch, k_prep, training=training)
         x = batch["x"]
@@ -399,7 +430,11 @@ class ProteinReDiffModel:
         num_nodes = jnp.sum(mask > 0.5, axis=-1)
         t = jax.random.randint(k_t, (B,), 0, self.cfg.num_steps)
         diff_loss = self.diffusion_loss(params, batch, x, mask, t, k_loss)
-        loss = jnp.mean(diff_loss / num_nodes)
+        if self.cfg.loss_mode == "per_position":
+            # diffusion_loss already self-normalized each term per sample.
+            loss = jnp.mean(diff_loss)
+        else:
+            loss = jnp.mean(diff_loss / num_nodes)
         return loss, {"loss": loss}
 
     def inference_extra_mask(

@@ -86,3 +86,75 @@ class TestCETerm:
 def _softmax(x):
     e = np.exp(x - x.max(axis=-1, keepdims=True))
     return e / e.sum(axis=-1, keepdims=True)
+
+
+class TestPerPositionLossMode:
+    """loss_mode='per_position' (beyond reference): self-normalized terms,
+    true-logit CE restricted to the masked residues."""
+
+    def _setup(self, loss_mode):
+        import jax
+
+        from protein_redesign_tpu.config import ModelConfig
+        from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+        from __graft_entry__ import _make_batch
+        import jax.numpy as jnp
+
+        cfg = ModelConfig(
+            esm_dim=16, time_dim=8, dist_dim=8, single_dim=16, pair_dim=8,
+            head_dim=4, num_heads=2, num_blocks=1, num_steps=4,
+            dtype="float32", remat=False, training_mode=True,
+            mask_prob=0.5, loss_mode=loss_mode,
+        )
+        model = ProteinReDiffModel(cfg)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in _make_batch(
+                n_atoms=4, n_res=8, bucket=16, esm_dim=16, batch=2
+            ).items()
+        }
+        params = model.init_params(jax.random.PRNGKey(0), batch)
+        return model, params, batch
+
+    def test_finite_and_differs_from_reference(self):
+        import jax
+
+        model_ref, params, batch = self._setup("reference")
+        model_pp, _, _ = self._setup("per_position")
+        key = jax.random.PRNGKey(3)
+        l_ref = float(model_ref.loss(params, batch, key)[0])
+        l_pp = float(model_pp.loss(params, batch, key)[0])
+        assert np.isfinite(l_ref) and np.isfinite(l_pp)
+        assert l_ref != l_pp
+
+    def test_seq_head_gets_gradient(self):
+        import jax
+
+        model, params, batch = self._setup("per_position")
+        # Find a key where the policy draw actually masks residues
+        # (rt < 0.5); fold until the CE term is live.
+        for i in range(8):
+            key = jax.random.PRNGKey(100 + i)
+            grads = jax.grad(
+                lambda p: model.loss(p, batch, key)[0]
+            )(params)
+            g = grads["seq_mlp"]
+            norm = sum(
+                float(np.abs(np.asarray(x)).sum())
+                for x in jax.tree_util.tree_leaves(g)
+            )
+            if norm > 0:
+                break
+        assert norm > 0
+
+    def test_invalid_mode_raises(self):
+        import jax
+        import pytest as _pytest
+
+        model, params, batch = self._setup("reference")
+        bad = model.cfg.replace(loss_mode="nonsense")
+        from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+        bad_model = ProteinReDiffModel(bad)
+        with _pytest.raises(ValueError, match="loss_mode"):
+            bad_model.loss(params, batch, jax.random.PRNGKey(0))
