@@ -24,8 +24,10 @@ from protein_redesign_tpu.data.dataset import load_complex_cache, load_split_ids
 from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
 from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
 
-CKPT = "/tmp/prd_quality/run/checkpoints"
-DATA = "/tmp/prd_quality/data"
+CKPT = os.environ.get(
+    "PRD_QUALITY_CKPT", "/tmp/prd_quality/run/checkpoints"
+)
+DATA = os.environ.get("PRD_QUALITY_DATA", "/tmp/prd_quality/data")
 NUM_SAMPLES = 4
 
 enable_compilation_cache()
@@ -66,5 +68,5 @@ for split, rows in out.items():
     div = np.mean([r["diversity"] for r in rows])
     print(f"== {split}: TM(mean)={tm:.3f} recovery={rec:.3f} "
           f"recovery_masked={recm:.3f} diversity={div:.3f}")
-json.dump(out, open("/tmp/prd_quality/report.json", "w"), indent=1)
+json.dump(out, open(os.environ.get("PRD_QUALITY_REPORT_OUT", "/tmp/prd_quality/report.json"), "w"), indent=1)
 print("report written")
