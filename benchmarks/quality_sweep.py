@@ -27,8 +27,11 @@ from protein_redesign_tpu.data.dataset import load_split_ids
 from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
 from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
 
-CKPT = "/tmp/prd_quality/run/checkpoints"
-DATA = "/tmp/prd_quality/data"
+CKPT = os.environ.get(
+    "PRD_QUALITY_CKPT", "/tmp/prd_quality/run/checkpoints"
+)
+DATA = os.environ.get("PRD_QUALITY_DATA", "/tmp/prd_quality/data")
+OUT = os.environ.get("PRD_QUALITY_SWEEP_OUT", "/tmp/prd_quality/sweep.json")
 NUM_SAMPLES = 4
 MASK_PROB = 0.15
 
@@ -90,5 +93,5 @@ for mp in (0.3, 0.5, 1.0):
         ddpm_runner, f"ddpm_mask{int(mp * 100)}", mask_prob=mp
     )
 
-json.dump(out, open("/tmp/prd_quality/sweep.json", "w"), indent=1)
-print("sweep written to /tmp/prd_quality/sweep.json")
+json.dump(out, open(OUT, "w"), indent=1)
+print(f"sweep written to {OUT}")
