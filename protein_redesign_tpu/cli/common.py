@@ -202,6 +202,12 @@ def add_sampler_args(parser) -> None:
     parser.add_argument("--coarse_init", type=int, default=0,
                         help="ddim_parallel: warm-start Picard from an "
                              "N-step coarse sequential solve")
+    parser.add_argument("--seq_reverse", type=str, default="reference",
+                        choices=("reference", "ancestral"),
+                        help="sequence-channel reverse step: the "
+                             "reference softmax recurrence, or a proper "
+                             "DDPM/DDIM posterior with per-step known-"
+                             "residue clamping (ddpm/ddim samplers)")
 
 
 def runner_sampler_kwargs(args) -> Dict:
@@ -272,6 +278,14 @@ class SamplingRunner:
             raise ValueError(
                 "--eta is only supported by the plain ddim sampler; "
                 "ddim_parallel is deterministic (eta=0)"
+            )
+        if (
+            sampler == "ddim_parallel"
+            and model.cfg.seq_reverse != "reference"
+        ):
+            raise ValueError(
+                "seq_reverse='ancestral' is implemented for the ddpm/ddim "
+                "samplers; ddim_parallel uses the reference recurrence"
             )
         if mesh is not None:
             from ..parallel.mesh import replicated

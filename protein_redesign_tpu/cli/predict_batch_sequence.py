@@ -61,7 +61,9 @@ def main(argv=None):
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
-    model = ProteinReDiffModel(cfg.replace(training_mode=False))
+    model = ProteinReDiffModel(
+        cfg.replace(training_mode=False, seq_reverse=args.seq_reverse)
+    )
 
     proteins, names, masked_sequences = proteins_from_fasta_with_mask(
         args.fasta, args.mask_prob

@@ -133,7 +133,8 @@ def main(argv=None):
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
     model = ProteinReDiffModel(cfg.replace(
-        training_mode=False, fast_softmax=args.fast_softmax
+        training_mode=False, fast_softmax=args.fast_softmax,
+        seq_reverse=args.seq_reverse,
     ))
     embedder = ESMEmbedder(model_name=args.esm_model,
                            esm_dim=cfg.esm_dim,

@@ -67,6 +67,17 @@ class ModelConfig:
     #                                  ('data','model') mesh context.
     fast_softmax: bool = False     # bf16 attention probabilities (serving
                                    # speed; breaks strict fp32 parity)
+    seq_reverse: str = "reference"  # sequence-channel reverse step.
+    #                                "reference": seq_t <- softmax(pred)*2-1
+    #                                (`model.py:414`) — measured to make
+    #                                the sampled sequence numerically
+    #                                INDEPENDENT of the trained weights
+    #                                (locked to the init-noise argmax;
+    #                                BASELINE.md). "ancestral": proper
+    #                                DDPM posterior on the seq channel
+    #                                with seq_pred as x0-hat, known
+    #                                residues clamped per step like the
+    #                                training forward process q()
     loss_mode: str = "reference"   # "reference": the exact quirky
     #                                reductions (scalar-broadcast KL/CE,
     #                                (seq_pred+1)/2 as CE logits,

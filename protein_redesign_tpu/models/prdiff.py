@@ -472,6 +472,11 @@ class ProteinReDiffModel:
         [B,N,21]) — the reference ``predict_step`` contract.
         """
         cfg = self.cfg
+        if cfg.seq_reverse not in ("reference", "ancestral"):
+            raise ValueError(
+                f"seq_reverse must be 'reference' or 'ancestral', "
+                f"got {cfg.seq_reverse!r}"
+            )
         sched = self.schedule
         k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
         batch = self.prepare_batch(
@@ -496,14 +501,36 @@ class ProteinReDiffModel:
         def step(carry, inp):
             z_t, seq_t, _ = carry
             t_scalar, k = inp
+            if cfg.seq_reverse == "ancestral":
+                kz, ks = jax.random.split(k)
+            else:
+                kz, ks = k, None  # keep the reference-mode noise stream
             t = jnp.broadcast_to(t_scalar, (B,))
             w_noise = (1.0 - sched.alphas[t]) / sched.sqrt_one_minus_alphas_cumprod[t]
             noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
             mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
                 z_t - w_noise[:, None, None] * noise_pred
             )
-            seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
-            noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
+            if cfg.seq_reverse == "ancestral":
+                # DDPM posterior on the sequence channel with seq_pred as
+                # the x0 prediction; known residues clamped per step to
+                # the conditioning one-hot (matching the training forward
+                # process q(), which clamps them at every t). Fixes the
+                # reference recurrence's weight-independence (BASELINE.md).
+                pm1 = sched.posterior_mean_coef1[t][:, None, None]
+                pm2 = sched.posterior_mean_coef2[t][:, None, None]
+                pstd = jnp.sqrt(sched.posterior_variance[t])[:, None, None]
+                mean_seq = pm1 * seq_pred + pm2 * seq_t
+                noise_s = remove_mean(
+                    jax.random.normal(ks, seq.shape, seq.dtype), residue_mask
+                )
+                seq_cand = jnp.where(
+                    t_scalar == 0, seq_pred, mean_seq + pstd * noise_s
+                )
+                seq_next = extra * seq + inv * seq_cand
+            else:
+                seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
+            noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
             std = sched.sqrt_betas[t][:, None, None]
             z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
             return (z_next, seq_next, seq_pred), None
@@ -531,6 +558,11 @@ class ProteinReDiffModel:
         schedule via its num_steps override (`generate.py:103-105`).
         eta=0 is deterministic given the key-driven initialization."""
         cfg = self.cfg
+        if cfg.seq_reverse not in ("reference", "ancestral"):
+            raise ValueError(
+                f"seq_reverse must be 'reference' or 'ancestral', "
+                f"got {cfg.seq_reverse!r}"
+            )
         sched = self.schedule
         T = cfg.num_steps
         k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
@@ -588,7 +620,21 @@ class ProteinReDiffModel:
                 + dir_coeff * noise_pred
                 + sigma * noise
             )
-            seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
+            if cfg.seq_reverse == "ancestral":
+                # Deterministic DDIM step on the seq channel, seq_pred as
+                # x0-hat; known residues clamped (see sample()).
+                eps_seq = (seq_t - jnp.sqrt(a_t) * seq_pred) * jax.lax.rsqrt(
+                    jnp.maximum(1.0 - a_t, 1e-12)
+                )
+                seq_cand = jnp.where(
+                    tau_prev < 0,
+                    seq_pred,
+                    jnp.sqrt(a_prev) * seq_pred
+                    + jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps_seq,
+                )
+                seq_next = extra * seq + inv * seq_cand
+            else:
+                seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
             return (z_next, seq_next, seq_pred), None
 
         keys = jax.random.split(k_scan, ddim_steps)
