@@ -287,6 +287,11 @@ class SamplingRunner:
                 "seq_reverse='ancestral' is implemented for the ddpm/ddim "
                 "samplers; ddim_parallel uses the reference recurrence"
             )
+        if sampler != "ddpm" and model.cfg.seq_process == "absorbing":
+            raise ValueError(
+                "seq_process='absorbing' is implemented for the ddpm "
+                "sampler; use --sampler ddpm"
+            )
         if mesh is not None:
             from ..parallel.mesh import replicated
 

@@ -67,6 +67,18 @@ class ModelConfig:
     #                                  ('data','model') mesh context.
     fast_softmax: bool = False     # bf16 attention probabilities (serving
                                    # speed; breaks strict fp32 parity)
+    seq_process: str = "gaussian"  # sequence-channel diffusion process.
+    #                                "gaussian": the reference's Gaussian
+    #                                diffusion on ±1 one-hots. "absorbing":
+    #                                masked discrete diffusion — positions
+    #                                are corrupted to the zero row (the
+    #                                net's native unknown encoding) with
+    #                                prob (t+1)/T, trained with CE at the
+    #                                corrupted positions (no KL — the KL
+    #                                is what teaches copying, BASELINE.md
+    #                                ablation), and sampled by
+    #                                confidence-ranked progressive reveal.
+    #                                The coordinate channel stays Gaussian.
     seq_reverse: str = "reference"  # sequence-channel reverse step.
     #                                "reference": seq_t <- softmax(pred)*2-1
     #                                (`model.py:414`) — measured to make

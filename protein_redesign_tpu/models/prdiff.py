@@ -45,7 +45,7 @@ from .layers import (
     SinusoidalProjection,
     TransitionMLP,
 )
-from .masking import random_mask, spatial_mask
+from .masking import _rank, random_mask, spatial_mask
 
 Batch = Dict[str, jnp.ndarray]
 NUM_CLASSES = 21  # 20 residue types + pad/mask class 0
@@ -351,6 +351,12 @@ class ProteinReDiffModel:
         noise_z = remove_mean(
             jax.random.normal(kz, x.shape, x.dtype), mask
         )
+
+        if self.cfg.seq_process == "absorbing":
+            return self._absorbing_loss(
+                params, batch, x, mask, t, noise_z, ks
+            )
+
         noise_seq = remove_mean(
             jax.random.normal(ks, seq.shape, seq.dtype), residue_mask
         )
@@ -412,6 +418,62 @@ class ProteinReDiffModel:
         diff_loss = diff_loss + jnp.sum(nll)
         return diff_loss
 
+    def _absorbing_loss(
+        self,
+        params: Any,
+        batch: Batch,
+        x: jnp.ndarray,
+        mask: jnp.ndarray,
+        t: jnp.ndarray,
+        noise_z: jnp.ndarray,
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        """Masked discrete diffusion on the sequence channel
+        (seq_process='absorbing', beyond reference; BASELINE.md ablation
+        motivates it): unknown (inv-masked) residues are corrupted to the
+        zero row with prob (t+1)/T, the net is trained with CE to recover
+        them, and there is deliberately NO KL term — the KL is what
+        teaches seq_t-copying. Coordinates keep the Gaussian process.
+        Per-sample self-normalized terms (loss() skips 1/num_nodes)."""
+        cfg = self.cfg
+        sched = self.schedule
+        labels = batch["residue_type"]
+        residue_mask = batch["residue_mask"]
+
+        sac = sched.sqrt_alphas_cumprod[t][:, None, None]
+        s1mac = sched.sqrt_one_minus_alphas_cumprod[t][:, None, None]
+        z_t = sac * x + s1mac * noise_z
+
+        # Corrupt ANY real residue iid with prob (t+1)/T — denser signal
+        # than corrupting only the conditioning-unknown positions (the
+        # policy draw leaves those empty half the time), and it covers the
+        # sampling distribution, where user-known positions are always
+        # visible and unknown ones are progressively revealed.
+        p_t = ((t.astype(jnp.float32) + 1.0) / cfg.num_steps)[:, None]
+        corrupt = (
+            (jax.random.uniform(key, residue_mask.shape) < p_t)
+            & (residue_mask > 0.5)
+        ).astype(jnp.float32)
+        visible = residue_mask * (1.0 - corrupt)
+        full_pm1 = (
+            jax.nn.one_hot(labels, NUM_CLASSES, dtype=jnp.float32) * 2.0 - 1.0
+        )
+        seq_t = full_pm1 * visible[..., None]
+
+        noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+
+        num_nodes = jnp.maximum(jnp.sum(mask > 0.5, axis=-1), 1)
+        mse = jnp.sum(
+            mask[..., None] * jnp.square(noise_pred - noise_z), axis=(-1, -2)
+        )
+        log_probs = jax.nn.log_softmax(seq_pred, axis=-1)
+        nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+        sel = corrupt * residue_mask * (labels != 0)
+        ce = jnp.sum(nll * sel, axis=-1) / jnp.maximum(
+            jnp.sum(sel, axis=-1), 1.0
+        )
+        return mse / num_nodes + ce
+
     def loss(
         self, params: Any, batch: Batch, key: jax.Array,
         training: bool = True,
@@ -422,6 +484,11 @@ class ProteinReDiffModel:
                 f"loss_mode must be 'reference' or 'per_position', "
                 f"got {self.cfg.loss_mode!r}"
             )
+        if self.cfg.seq_process not in ("gaussian", "absorbing"):
+            raise ValueError(
+                f"seq_process must be 'gaussian' or 'absorbing', "
+                f"got {self.cfg.seq_process!r}"
+            )
         k_prep, k_t, k_loss = jax.random.split(key, 3)
         batch = self.prepare_batch(batch, k_prep, training=training)
         x = batch["x"]
@@ -430,7 +497,10 @@ class ProteinReDiffModel:
         num_nodes = jnp.sum(mask > 0.5, axis=-1)
         t = jax.random.randint(k_t, (B,), 0, self.cfg.num_steps)
         diff_loss = self.diffusion_loss(params, batch, x, mask, t, k_loss)
-        if self.cfg.loss_mode == "per_position":
+        if (
+            self.cfg.loss_mode == "per_position"
+            or self.cfg.seq_process == "absorbing"
+        ):
             # diffusion_loss already self-normalized each term per sample.
             loss = jnp.mean(diff_loss)
         else:
@@ -491,10 +561,15 @@ class ProteinReDiffModel:
         B = x.shape[0]
 
         z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
-        s0 = remove_mean(
-            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
-        )
-        s0 = extra * seq + inv * s0
+        if cfg.seq_process == "absorbing":
+            # Unknown residues start fully absorbed (zero rows — the
+            # encoding prepare_batch already gives them).
+            s0 = seq
+        else:
+            s0 = remove_mean(
+                jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+            )
+            s0 = extra * seq + inv * s0
 
         time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
 
@@ -511,7 +586,29 @@ class ProteinReDiffModel:
             mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
                 z_t - w_noise[:, None, None] * noise_pred
             )
-            if cfg.seq_reverse == "ancestral":
+            if cfg.seq_process == "absorbing":
+                # Confidence-ranked progressive reveal (MaskGIT-style,
+                # re-ranked each step): commit the argmax at the
+                # floor(n_inv * (1 - t/T)) most confident unknown
+                # positions; the rest stay absorbed (zero rows). The
+                # rank-threshold keeps shapes static under scan.
+                probs = jax.nn.softmax(seq_pred, axis=-1)
+                conf = jnp.max(probs[..., 1:], axis=-1)  # over real classes
+                cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
+                inv2 = inv[..., 0]
+                n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
+                frac = 1.0 - t_scalar.astype(jnp.float32) / cfg.num_steps
+                k_t = jnp.floor(n_inv * frac)
+                score = jnp.where(inv2 > 0.5, -conf, 1e10)
+                reveal = (
+                    (_rank(score, axis=-1) < k_t) & (inv2 > 0.5)
+                ).astype(jnp.float32)
+                committed = (
+                    jax.nn.one_hot(cls, NUM_CLASSES, dtype=jnp.float32)
+                    * 2.0 - 1.0
+                )
+                seq_next = seq + reveal[..., None] * committed
+            elif cfg.seq_reverse == "ancestral":
                 # DDPM posterior on the sequence channel with seq_pred as
                 # the x0 prediction; known residues clamped per step to
                 # the conditioning one-hot (matching the training forward
@@ -562,6 +659,11 @@ class ProteinReDiffModel:
             raise ValueError(
                 f"seq_reverse must be 'reference' or 'ancestral', "
                 f"got {cfg.seq_reverse!r}"
+            )
+        if cfg.seq_process == "absorbing":
+            raise NotImplementedError(
+                "seq_process='absorbing' is implemented for the ddpm "
+                "sampler (ProteinReDiffModel.sample); use --sampler ddpm"
             )
         sched = self.schedule
         T = cfg.num_steps
