@@ -562,14 +562,13 @@ class ProteinReDiffModel:
 
         z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
         if cfg.seq_process == "absorbing":
-            # Unknown residues start fully absorbed (zero rows — the
-            # encoding prepare_batch already gives them).
-            s0 = seq
-        else:
-            s0 = remove_mean(
-                jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+            return self._sample_absorbing(
+                params, batch, z0, k_scan
             )
-            s0 = extra * seq + inv * s0
+        s0 = remove_mean(
+            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+        )
+        s0 = extra * seq + inv * s0
 
         time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
 
@@ -586,29 +585,7 @@ class ProteinReDiffModel:
             mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
                 z_t - w_noise[:, None, None] * noise_pred
             )
-            if cfg.seq_process == "absorbing":
-                # Confidence-ranked progressive reveal (MaskGIT-style,
-                # re-ranked each step): commit the argmax at the
-                # floor(n_inv * (1 - t/T)) most confident unknown
-                # positions; the rest stay absorbed (zero rows). The
-                # rank-threshold keeps shapes static under scan.
-                probs = jax.nn.softmax(seq_pred, axis=-1)
-                conf = jnp.max(probs[..., 1:], axis=-1)  # over real classes
-                cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
-                inv2 = inv[..., 0]
-                n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
-                frac = 1.0 - t_scalar.astype(jnp.float32) / cfg.num_steps
-                k_t = jnp.floor(n_inv * frac)
-                score = jnp.where(inv2 > 0.5, -conf, 1e10)
-                reveal = (
-                    (_rank(score, axis=-1) < k_t) & (inv2 > 0.5)
-                ).astype(jnp.float32)
-                committed = (
-                    jax.nn.one_hot(cls, NUM_CLASSES, dtype=jnp.float32)
-                    * 2.0 - 1.0
-                )
-                seq_next = seq + reveal[..., None] * committed
-            elif cfg.seq_reverse == "ancestral":
+            if cfg.seq_reverse == "ancestral":
                 # DDPM posterior on the sequence channel with seq_pred as
                 # the x0 prediction; known residues clamped per step to
                 # the conditioning one-hot (matching the training forward
@@ -639,6 +616,84 @@ class ProteinReDiffModel:
         )
         pos = nanometre_to_angstrom(z_final)
         return pos, residue_mask[..., None] * seq_pred_last
+
+    def _sample_absorbing(
+        self,
+        params: Any,
+        batch: Batch,
+        z0: jnp.ndarray,
+        k_scan: jax.Array,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Absorbing-mode sampler body (seq_process='absorbing'): the
+        coordinate channel runs the reference DDPM update; unknown
+        residues are revealed by STICKY confidence-ranked commitment —
+        a position's identity is fixed using the prediction made while it
+        was still absorbed in the input (the case the CE trained), never
+        recomputed from visible-position outputs (which the absorbing CE
+        deliberately does not train). Returns (positions, logits) where
+        the logits encode known one-hots + committed one-hots, so the
+        downstream argmax decode yields the designed sequence."""
+        cfg = self.cfg
+        sched = self.schedule
+        x = batch["x"]
+        mask = batch["residue_and_atom_mask"]
+        residue_mask = batch["residue_mask"]
+        seq = batch["residue_one_hot"]           # known one-hots, 0 at inv
+        inv2 = batch["residue_inv_extra_mask"]   # [B, N]
+        B = x.shape[0]
+        n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
+        time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
+
+        def step(carry, inp):
+            z_t, comm_mask, comm_oh = carry
+            t_scalar, k = inp
+            t = jnp.broadcast_to(t_scalar, (B,))
+            seq_t = seq + comm_oh  # absorbed positions stay zero rows
+            noise_pred, seq_pred = self.apply(
+                params, batch, z_t, seq_t, mask, t
+            )
+            # Coordinate DDPM update (reference math).
+            w_noise = (
+                (1.0 - sched.alphas[t])
+                / sched.sqrt_one_minus_alphas_cumprod[t]
+            )
+            mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
+                z_t - w_noise[:, None, None] * noise_pred
+            )
+            noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
+            std = sched.sqrt_betas[t][:, None, None]
+            z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
+            # Sticky reveal: cumulative target floor(n_inv * (1 - t/T));
+            # newly committed = most confident STILL-ABSORBED candidates.
+            probs = jax.nn.softmax(seq_pred, axis=-1)
+            conf = jnp.max(probs[..., 1:], axis=-1)
+            cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
+            cand = (inv2 > 0.5) & (comm_mask < 0.5)
+            frac = 1.0 - t_scalar.astype(jnp.float32) / cfg.num_steps
+            k_t = jnp.floor(n_inv * frac)
+            n_new = jnp.maximum(
+                k_t - jnp.sum(comm_mask, axis=-1, keepdims=True), 0.0
+            )
+            score = jnp.where(cand, -conf, 1e10)
+            new = (
+                (_rank(score, axis=-1) < n_new) & cand
+            ).astype(jnp.float32)
+            comm_mask = comm_mask + new
+            comm_oh = comm_oh + new[..., None] * (
+                jax.nn.one_hot(cls, NUM_CLASSES, dtype=jnp.float32) * 2.0
+                - 1.0
+            )
+            return (z_next, comm_mask, comm_oh), None
+
+        keys = jax.random.split(k_scan, cfg.num_steps)
+        comm0 = jnp.zeros_like(inv2)
+        oh0 = jnp.zeros_like(seq)
+        (z_final, comm_mask, comm_oh), _ = jax.lax.scan(
+            step, (z0, comm0, oh0), (time_steps, keys)
+        )
+        pos = nanometre_to_angstrom(z_final)
+        logits = residue_mask[..., None] * (seq + comm_oh)
+        return pos, logits
 
     def sample_ddim(
         self,
