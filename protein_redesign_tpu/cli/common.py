@@ -208,6 +208,29 @@ def add_sampler_args(parser) -> None:
                              "reference softmax recurrence, or a proper "
                              "DDPM/DDIM posterior with per-step known-"
                              "residue clamping (ddpm/ddim samplers)")
+    parser.add_argument("--reveal_schedule", type=str, default="linear",
+                        choices=("linear", "cosine"),
+                        help="absorbing-mode commitment schedule: linear "
+                             "in progress, or the MaskGIT cosine (late "
+                             "commitments; seq_process='absorbing' only)")
+    parser.add_argument("--reveal_temperature", type=float, default=0.0,
+                        help="absorbing-mode: sample committed identities "
+                             "from softmax(logits/tau) instead of argmax")
+    parser.add_argument("--reveal_conf_noise", type=float, default=0.0,
+                        help="absorbing-mode: t/T-annealed gumbel noise "
+                             "scale on the commitment-ranking scores "
+                             "(MaskGIT choice_temperature)")
+
+
+def sampler_cfg_overrides(args) -> Dict:
+    """ModelConfig.replace(**...) overrides from add_sampler_args flags
+    (inference-time sampler behavior riding on the model config)."""
+    return dict(
+        seq_reverse=args.seq_reverse,
+        reveal_schedule=args.reveal_schedule,
+        reveal_temperature=args.reveal_temperature,
+        reveal_conf_noise=args.reveal_conf_noise,
+    )
 
 
 def runner_sampler_kwargs(args) -> Dict:

@@ -62,6 +62,7 @@ def main(argv=None):
         make_inference_mesh,
         parse_ligand_arg,
         runner_sampler_kwargs,
+        sampler_cfg_overrides,
         update_pos,
         update_seq,
     )
@@ -71,7 +72,7 @@ def main(argv=None):
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
     model = ProteinReDiffModel(cfg.replace(
         training_mode=False, fast_softmax=args.fast_softmax,
-        seq_reverse=args.seq_reverse,
+        **sampler_cfg_overrides(args),
     ))
 
     protein = load_protein_arg(args.protein)

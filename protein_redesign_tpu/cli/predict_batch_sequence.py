@@ -52,6 +52,7 @@ def main(argv=None):
         predict_seq,
         proteins_from_fasta_with_mask,
         runner_sampler_kwargs,
+        sampler_cfg_overrides,
     )
     from .generate import _load_params
 
@@ -62,7 +63,7 @@ def main(argv=None):
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
     model = ProteinReDiffModel(
-        cfg.replace(training_mode=False, seq_reverse=args.seq_reverse)
+        cfg.replace(training_mode=False, **sampler_cfg_overrides(args))
     )
 
     proteins, names, masked_sequences = proteins_from_fasta_with_mask(

@@ -63,6 +63,7 @@ def main(argv=None):
         parse_ligands,
         proteins_from_fasta_with_mask,
         runner_sampler_kwargs,
+        sampler_cfg_overrides,
         update_pos,
         update_seq,
     )
@@ -75,7 +76,7 @@ def main(argv=None):
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
     model = ProteinReDiffModel(
-        cfg.replace(training_mode=False, seq_reverse=args.seq_reverse)
+        cfg.replace(training_mode=False, **sampler_cfg_overrides(args))
     )
 
     proteins, names, masked_sequences = proteins_from_fasta_with_mask(

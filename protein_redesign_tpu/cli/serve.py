@@ -128,13 +128,14 @@ def main(argv=None):
         SamplingRunner,
         make_inference_mesh,
         runner_sampler_kwargs,
+        sampler_cfg_overrides,
     )
     from .generate import _load_params
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
     model = ProteinReDiffModel(cfg.replace(
         training_mode=False, fast_softmax=args.fast_softmax,
-        seq_reverse=args.seq_reverse,
+        **sampler_cfg_overrides(args),
     ))
     embedder = ESMEmbedder(model_name=args.esm_model,
                            esm_dim=cfg.esm_dim,

@@ -100,6 +100,26 @@ class ModelConfig:
     #                                under the reference loss their
     #                                recovery stays at chance, BASELINE.md
     #                                quality tables)
+    # Absorbing-mode sampling controls (seq_process='absorbing' only;
+    # inference-time — safe to override on any absorbing checkpoint).
+    reveal_schedule: str = "linear"  # cumulative commitment target as a
+    #                                  function of progress r = 1 - t/T.
+    #                                  "linear": r (round-2 default).
+    #                                  "cosine": 1 - cos(pi/2 * r) — the
+    #                                  MaskGIT mask schedule (few early
+    #                                  commitments while the structure is
+    #                                  still noise, most in the late
+    #                                  low-noise steps).
+    reveal_temperature: float = 0.0  # >0: committed identities are SAMPLED
+    #                                  from softmax(logits/tau) over the 20
+    #                                  real classes instead of argmax;
+    #                                  confidence ranking then uses the
+    #                                  sampled class's probability.
+    reveal_conf_noise: float = 0.0   # >0: gumbel noise of this scale,
+    #                                  annealed by t/T, added to the
+    #                                  log-confidence ranking scores
+    #                                  (MaskGIT's choice_temperature) so
+    #                                  early commitment order is explored.
 
     @property
     def num_residue_classes(self) -> int:

@@ -632,8 +632,20 @@ class ProteinReDiffModel:
         recomputed from visible-position outputs (which the absorbing CE
         deliberately does not train). Returns (positions, logits) where
         the logits encode known one-hots + committed one-hots, so the
-        downstream argmax decode yields the designed sequence."""
+        downstream argmax decode yields the designed sequence.
+
+        Inference-time controls (ModelConfig, overridable per CLI run):
+        ``reveal_schedule`` shapes the cumulative commitment target
+        (linear, or MaskGIT cosine: most commitments land in the late
+        low-noise steps); ``reveal_temperature`` samples identities from
+        softmax(logits/tau) instead of argmax; ``reveal_conf_noise`` adds
+        t/T-annealed gumbel noise to the ranking scores."""
         cfg = self.cfg
+        if cfg.reveal_schedule not in ("linear", "cosine"):
+            raise ValueError(
+                f"reveal_schedule must be 'linear' or 'cosine', "
+                f"got {cfg.reveal_schedule!r}"
+            )
         sched = self.schedule
         x = batch["x"]
         mask = batch["residue_and_atom_mask"]
@@ -647,6 +659,7 @@ class ProteinReDiffModel:
         def step(carry, inp):
             z_t, comm_mask, comm_oh = carry
             t_scalar, k = inp
+            kz, kc, kg = jax.random.split(k, 3)
             t = jnp.broadcast_to(t_scalar, (B,))
             seq_t = seq + comm_oh  # absorbed positions stay zero rows
             noise_pred, seq_pred = self.apply(
@@ -660,21 +673,41 @@ class ProteinReDiffModel:
             mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
                 z_t - w_noise[:, None, None] * noise_pred
             )
-            noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
+            noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
             std = sched.sqrt_betas[t][:, None, None]
             z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
-            # Sticky reveal: cumulative target floor(n_inv * (1 - t/T));
-            # newly committed = most confident STILL-ABSORBED candidates.
+            # Sticky reveal: cumulative target floor(n_inv * g(r)), r the
+            # progress 1 - t/T; newly committed = top-ranked STILL-ABSORBED
+            # candidates (most confident, optionally noised).
             probs = jax.nn.softmax(seq_pred, axis=-1)
-            conf = jnp.max(probs[..., 1:], axis=-1)
-            cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
+            if cfg.reveal_temperature > 0.0:
+                # Gumbel-max sampling over the 20 real classes at
+                # temperature tau; rank by the sampled class's probability.
+                g = jax.random.gumbel(kc, probs[..., 1:].shape)
+                cls = jnp.argmax(
+                    seq_pred[..., 1:] / cfg.reveal_temperature + g, axis=-1
+                ) + 1
+                conf = jnp.take_along_axis(
+                    probs, cls[..., None], axis=-1
+                )[..., 0]
+            else:
+                conf = jnp.max(probs[..., 1:], axis=-1)
+                cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
             cand = (inv2 > 0.5) & (comm_mask < 0.5)
             frac = 1.0 - t_scalar.astype(jnp.float32) / cfg.num_steps
+            if cfg.reveal_schedule == "cosine":
+                frac = 1.0 - jnp.cos(0.5 * jnp.pi * frac)
             k_t = jnp.floor(n_inv * frac)
             n_new = jnp.maximum(
                 k_t - jnp.sum(comm_mask, axis=-1, keepdims=True), 0.0
             )
-            score = jnp.where(cand, -conf, 1e10)
+            score = -jnp.log(conf + 1e-9)
+            if cfg.reveal_conf_noise > 0.0:
+                anneal = t_scalar.astype(jnp.float32) / cfg.num_steps
+                score = score - cfg.reveal_conf_noise * anneal * (
+                    jax.random.gumbel(kg, score.shape)
+                )
+            score = jnp.where(cand, score, 1e10)
             new = (
                 (_rank(score, axis=-1) < n_new) & cand
             ).astype(jnp.float32)

@@ -124,6 +124,91 @@ def test_absorbing_overfit_recovers_masked_sequence():
     # memorization task. Margin below for run-to-run stability.
     assert recovery > 0.8, f"masked recovery {recovery:.2f} (n={total})"
 
+    # The cosine reveal schedule must preserve the learned recovery on
+    # the same trained weights (it only reorders WHEN positions commit).
+    cosine = ProteinReDiffModel(
+        TINY.replace(training_mode=False, reveal_schedule="cosine")
+    )
+    key = jax.random.PRNGKey(100)
+    _, logits = cosine.sample(state.ema_params, batch, key, mask_prob=0.5)
+    _, invm = cosine.inference_extra_mask(key, batch["residue_mask"], 0.5)
+    invm = np.asarray(invm)[:, 4:16] > 0.5
+    pred = np.argmax(np.asarray(logits)[:, 4:16], axis=-1)
+    rec_cos = ((pred == true) & invm).sum() / max(invm.sum(), 1)
+    assert rec_cos > 0.8, f"cosine masked recovery {rec_cos:.2f}"
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(reveal_schedule="cosine"),
+        dict(reveal_temperature=1.0),
+        dict(reveal_conf_noise=2.0),
+        dict(reveal_schedule="cosine", reveal_temperature=0.7,
+             reveal_conf_noise=1.0),
+    ],
+)
+def test_reveal_options_commit_every_unknown(overrides):
+    """Every reveal-schedule/temperature/noise combination must still
+    commit ALL unknown positions to a REAL class by t=0 (a zero row at an
+    inv position would decode to class 0 = pad/mask)."""
+    model = ProteinReDiffModel(
+        TINY.replace(training_mode=False, **overrides)
+    )
+    batch = _batch()
+    params = ProteinReDiffModel(TINY).init_params(
+        jax.random.PRNGKey(0), batch
+    )
+    rng = np.random.RandomState(3)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(x.dtype),
+        params,
+    )
+    key = jax.random.PRNGKey(11)
+    pos, logits = model.sample(params, batch, key, mask_prob=0.5)
+    assert np.isfinite(np.asarray(pos)).all()
+    _, invm = model.inference_extra_mask(key, batch["residue_mask"], 0.5)
+    invm = np.asarray(invm)[:, 4:16] > 0.5
+    pred = np.argmax(np.asarray(logits)[:, 4:16], axis=-1)
+    assert (pred[invm] > 0).all(), "absorbed row survived to the output"
+
+
+def test_reveal_temperature_varies_identities():
+    """tau>0 samples identities: across keys the committed classes at a
+    fixed masked position must not be constant (argmax would be)."""
+    model = ProteinReDiffModel(
+        TINY.replace(training_mode=False, reveal_temperature=5.0)
+    )
+    batch = _batch()
+    params = ProteinReDiffModel(TINY).init_params(
+        jax.random.PRNGKey(0), batch
+    )
+    rng = np.random.RandomState(3)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(x.dtype),
+        params,
+    )
+    preds = []
+    for s in range(6):
+        key = jax.random.PRNGKey(40 + s)
+        _, logits = model.sample(params, batch, key, mask_prob=1.0)
+        preds.append(np.argmax(np.asarray(logits)[:, 4:16], axis=-1))
+    distinct = np.stack(preds).reshape(len(preds), -1)
+    # At high temperature, at least one position draws >=2 identities.
+    assert (distinct.max(0) != distinct.min(0)).any()
+
+
+def test_invalid_reveal_schedule_raises():
+    model = ProteinReDiffModel(
+        TINY.replace(training_mode=False, reveal_schedule="bogus")
+    )
+    batch = _batch()
+    params = ProteinReDiffModel(TINY).init_params(
+        jax.random.PRNGKey(0), batch
+    )
+    with pytest.raises(ValueError, match="reveal_schedule"):
+        model.sample(params, batch, jax.random.PRNGKey(0), mask_prob=0.5)
+
 
 def test_invalid_seq_process_raises():
     model = ProteinReDiffModel(TINY.replace(seq_process="bogus"))
