@@ -220,6 +220,11 @@ def add_sampler_args(parser) -> None:
                         help="absorbing-mode: t/T-annealed gumbel noise "
                              "scale on the commitment-ranking scores "
                              "(MaskGIT choice_temperature)")
+    parser.add_argument("--attn_chunk", type=int, default=0,
+                        help="evaluate attention in query chunks of this "
+                             "size (same numerics, O(N/chunk) less peak "
+                             "HBM) — required for the 768/1024 buckets; "
+                             "must divide the padded bucket size")
 
 
 def sampler_cfg_overrides(args) -> Dict:
@@ -230,6 +235,7 @@ def sampler_cfg_overrides(args) -> Dict:
         reveal_schedule=args.reveal_schedule,
         reveal_temperature=args.reveal_temperature,
         reveal_conf_noise=args.reveal_conf_noise,
+        attn_chunk=args.attn_chunk,
     )
 
 
@@ -271,7 +277,7 @@ class SamplingRunner:
         self,
         model: ProteinReDiffModel,
         params,
-        buckets: Sequence[int] = (64, 128, 192, 256, 384, 512),
+        buckets: Sequence[int] = (64, 128, 192, 256, 384, 512, 768, 1024),
         batch_size: int = 1,
         mask_prob: Optional[float] = None,
         mesh=None,

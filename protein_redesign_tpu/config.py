@@ -67,6 +67,14 @@ class ModelConfig:
     #                                  ('data','model') mesh context.
     fast_softmax: bool = False     # bf16 attention probabilities (serving
                                    # speed; breaks strict fp32 parity)
+    attn_chunk: int = 0            # >0: evaluate attention in query chunks
+    #                                of this size (lax.scan, ops/
+    #                                chunked_attention.py) instead of
+    #                                materializing the [rows, H, N, N]
+    #                                logits — the O(N^3) HBM wall that
+    #                                blocks N>=768 buckets. Numerically
+    #                                identical to the unchunked path; must
+    #                                divide the padded bucket size. 0 = off.
     seq_process: str = "gaussian"  # sequence-channel diffusion process.
     #                                "gaussian": the reference's Gaussian
     #                                diffusion on ±1 one-hots. "absorbing":
@@ -139,7 +147,10 @@ class DataConfig:
     num_workers: int = 1
     # Static-shape buckets for XLA (new; the reference pads per-batch
     # dynamically at `data.py:81`, which would force recompilation).
-    buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512)
+    buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024)
+    # The 768/1024 rungs (long-context, round 2) need
+    # ``ModelConfig.attn_chunk`` (e.g. 128) to fit: unchunked triangle-
+    # attention logits alone are ~3.6/8.6 GB bf16 there.
 
     def resolved_cache_dir(self) -> str:
         if self.cache_dir is not None:

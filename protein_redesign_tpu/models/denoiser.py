@@ -50,6 +50,7 @@ class TriangleAttention(nn.Module):
     mode: str  # "starting" | "ending"
     use_pallas: bool = False
     fast_softmax: bool = False
+    attn_chunk: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -62,7 +63,7 @@ class TriangleAttention(nn.Module):
             mask_2d = jnp.swapaxes(mask_2d, -1, -2)
         out = GatedAttention(
             self.head_dim, self.num_heads, use_pallas=self.use_pallas,
-            fast_softmax=self.fast_softmax,
+            fast_softmax=self.fast_softmax, attn_chunk=self.attn_chunk,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(pair, mask_2d)
         if self.mode == "ending":
@@ -229,6 +230,7 @@ class SPAttention(nn.Module):
     num_heads: int
     use_pallas: bool = False
     fast_softmax: bool = False
+    attn_chunk: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -266,6 +268,7 @@ class SPAttention(nn.Module):
         o = attention_core(
             q, k, v, mask=None, attn_bias=bias, scale=1.0,
             use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            attn_chunk=self.attn_chunk,
         ).astype(self.dtype)
         o = g * o
         o = o.reshape(o.shape[:-2] + (H * C,))
@@ -322,6 +325,7 @@ class FoldingBlock(nn.Module):
     use_pallas: bool = False
     fast_softmax: bool = False
     use_pallas_trimul: bool = False
+    attn_chunk: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -343,7 +347,8 @@ class FoldingBlock(nn.Module):
 
         single = single + GatedAttention(
             self.head_dim, self.num_heads, use_pallas=self.use_pallas,
-            fast_softmax=self.fast_softmax, name="single_attn", **kw
+            fast_softmax=self.fast_softmax, attn_chunk=self.attn_chunk,
+            name="single_attn", **kw
         )(single, mask, attn_bias=attn_bias)
         single = single + TransitionMLP(
             self.single_dim * self.transition_factor, self.single_dim,
@@ -361,11 +366,13 @@ class FoldingBlock(nn.Module):
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "starting",
             use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            attn_chunk=self.attn_chunk,
             name="pair_attn_starting", **kw,
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "ending",
             use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            attn_chunk=self.attn_chunk,
             name="pair_attn_ending", **kw,
         )(pair, mask_2d)
         pair = pair + TransitionMLP(
@@ -412,6 +419,7 @@ class Denoiser(nn.Module):
         single = SPAttention(
             cfg.single_dim, cfg.pair_dim, cfg.num_heads,
             use_pallas=cfg.use_pallas, fast_softmax=cfg.fast_softmax,
+            attn_chunk=cfg.attn_chunk,
             name="spa_attn", **kw,
         )(single, pair, mask)
 
@@ -429,6 +437,7 @@ class Denoiser(nn.Module):
                 cfg.use_pallas,
                 cfg.fast_softmax,
                 use_pallas_trimul=cfg.use_pallas_trimul,
+                attn_chunk=cfg.attn_chunk,
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)

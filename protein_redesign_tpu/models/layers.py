@@ -235,10 +235,22 @@ def attention_core(
     scale: float,
     use_pallas: bool,
     fast_softmax: bool = False,
+    attn_chunk: int = 0,
 ) -> jnp.ndarray:
     """Row-flatten leading dims and dispatch to the Pallas fused-attention
-    kernel (ops/pallas_attention.py) or the einsum fallback."""
+    kernel (ops/pallas_attention.py) or the einsum fallback. With
+    ``attn_chunk`` > 0 (and no Pallas), evaluate in query chunks instead —
+    same numerics, O(N/chunk) less peak logits HBM (long-context buckets,
+    ops/chunked_attention.py); inputs are NOT flattened/broadcast there."""
     from ..ops.pallas_attention import gated_attention_core
+
+    if attn_chunk > 0 and not use_pallas:
+        from ..ops.chunked_attention import chunked_attention
+
+        return chunked_attention(
+            query, key, value, mask, attn_bias, scale,
+            chunk=attn_chunk, fast_softmax=fast_softmax,
+        )
 
     lead = query.shape[:-3]
     N, H, C = query.shape[-3:]
@@ -275,6 +287,7 @@ class GatedAttention(nn.Module):
     num_heads: int
     use_pallas: bool = False
     fast_softmax: bool = False
+    attn_chunk: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -304,7 +317,7 @@ class GatedAttention(nn.Module):
         out = attention_core(
             query, key, value, mask, attn_bias,
             scale=1.0 / math.sqrt(C), use_pallas=self.use_pallas,
-            fast_softmax=self.fast_softmax,
+            fast_softmax=self.fast_softmax, attn_chunk=self.attn_chunk,
         ).astype(self.dtype)
         out = gate * out
         out = out.reshape(out.shape[:-2] + (H * C,))
