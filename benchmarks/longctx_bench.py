@@ -1,0 +1,91 @@
+"""Long-context denoiser measurements on the real chip (N=768/1024).
+
+For each (bucket, attn_chunk) config: paper-scale denoiser forward
+ms/step via a scanned loop (one dispatch), peak-memory-safe thanks to the
+query-chunked attention (`ops/chunked_attention.py`). attn_chunk=0 rows
+document where the unchunked path stops fitting/fusing; Pallas rows show
+whether the fused kernel pays at long N (it loses at paper N<=512,
+BASELINE.md). Results -> BASELINE.md long-context table.
+
+Usage (background task; remote compiles are 150-300 s per config):
+    python benchmarks/longctx_bench.py [--buckets 768,1024]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _make_batch
+from protein_redesign_tpu.config import ModelConfig
+from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
+
+
+def timed_fetch(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].sum())
+    return time.perf_counter() - t0, out
+
+
+def bench(cfg, bucket, n_res, iters=20, label=""):
+    model = ProteinReDiffModel(cfg)
+    b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
+                       esm_dim=cfg.esm_dim)
+    b = {k: jnp.asarray(v) for k, v in b_np.items()}
+    B, N = b["residue_mask"].shape
+    mask = b["atom_mask"] + b["residue_mask"]
+    seq = jnp.zeros((B, N, 21))
+    t = jnp.zeros((B,), jnp.int32)
+    params = model.init_params(jax.random.PRNGKey(0), b)
+
+    @jax.jit
+    def loop(params, z0):
+        def body(z, _):
+            noise_pred, _seq = model.apply(params, b, z, seq, mask, t)
+            return z + 0.01 * noise_pred, None
+        z, _ = jax.lax.scan(body, z0, None, length=iters)
+        return z
+
+    z0 = jnp.asarray(np.random.RandomState(0).randn(B, N, 3), jnp.float32)
+    try:
+        c0 = time.perf_counter()
+        timed_fetch(loop, params, z0)
+        compile_s = time.perf_counter() - c0
+        dt, _ = timed_fetch(loop, params, z0)
+        dt2, _ = timed_fetch(loop, params, z0)
+        per = min(dt, dt2) / iters
+        print(f"{label} N={bucket}: {per*1e3:.2f} ms/step "
+              f"({1/per:.1f} steps/s/chip; compile {compile_s:.0f}s)",
+              flush=True)
+        return per
+    except Exception as e:  # OOM rows are data, not failures
+        print(f"{label} N={bucket}: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buckets", default="768,1024")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+    enable_compilation_cache()
+    base = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
+                       num_steps=1000)
+    for bucket in [int(x) for x in args.buckets.split(",")]:
+        n_res = bucket - 96
+        for chunk in (0, 256, 128):
+            bench(base.replace(attn_chunk=chunk), bucket, n_res,
+                  iters=args.iters, label=f"chunk={chunk}")
+        bench(base.replace(use_pallas=True), bucket, n_res,
+              iters=args.iters, label="pallas")
+
+
+if __name__ == "__main__":
+    main()
