@@ -316,10 +316,14 @@ class SamplingRunner:
                 "seq_reverse='ancestral' is implemented for the ddpm/ddim "
                 "samplers; ddim_parallel uses the reference recurrence"
             )
-        if sampler != "ddpm" and model.cfg.seq_process == "absorbing":
+        if (
+            sampler == "ddim_parallel"
+            and model.cfg.seq_process == "absorbing"
+        ):
             raise ValueError(
-                "seq_process='absorbing' is implemented for the ddpm "
-                "sampler; use --sampler ddpm"
+                "seq_process='absorbing' is implemented for the ddpm and "
+                "ddim samplers; ddim_parallel's Picard iteration assumes a "
+                "continuous sequence channel"
             )
         if mesh is not None:
             from ..parallel.mesh import replicated

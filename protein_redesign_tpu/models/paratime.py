@@ -81,6 +81,12 @@ def sample_ddim_parallel(
     The fixed point (and the tol=0 exactness guarantee) is unchanged.
     """
     cfg = model.cfg
+    if cfg.seq_process == "absorbing":
+        raise NotImplementedError(
+            "seq_process='absorbing' is implemented for the ddpm and ddim "
+            "samplers; the Picard iteration assumes a continuous sequence "
+            "channel (use model.sample or model.sample_ddim)"
+        )
     T = cfg.num_steps
     S = int(ddim_steps)
     W = int(window)

@@ -454,7 +454,12 @@ class ProteinReDiffModel:
             (jax.random.uniform(key, residue_mask.shape) < p_t)
             & (residue_mask > 0.5)
         ).astype(jnp.float32)
-        visible = residue_mask * (1.0 - corrupt)
+        # Class-0 rows (user-X / unknown identity) are never visible: the
+        # CE can't train them (sel excludes labels==0) and the samplers
+        # always present them absorbed (_absorbing_known_and_designable).
+        visible = (
+            residue_mask * (1.0 - corrupt) * (labels != 0)
+        )
         full_pm1 = (
             jax.nn.one_hot(labels, NUM_CLASSES, dtype=jnp.float32) * 2.0 - 1.0
         )
@@ -617,6 +622,86 @@ class ProteinReDiffModel:
         pos = nanometre_to_angstrom(z_final)
         return pos, residue_mask[..., None] * seq_pred_last
 
+    def _absorbing_known_and_designable(
+        self, batch: Batch
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(known ±1 one-hots with EXACT zero rows at every designable
+        position, designable mask) for the absorbing samplers. Designable
+        = the random inference mask's inv positions PLUS every residue
+        whose identity is class 0 — a user-supplied ``X`` (aatype -1 →
+        +1-shift → 0, `protein.py` sequence parse). The Gaussian path
+        papers over user-X rows with softmax logits, but the absorbing
+        CE never trains class 0, so without this the sampler would echo
+        ``X`` for user-masked positions that the random draw skipped, and
+        would feed the net a (+1,-1,...) class-0 row it never saw in
+        training (the forward corruption uses exact zero rows)."""
+        residue_mask = batch["residue_mask"]
+        known_real = (batch["residue_type"] != 0).astype(jnp.float32)
+        seq = batch["residue_one_hot"] * known_real[..., None]
+        inv2 = jnp.maximum(
+            batch["residue_inv_extra_mask"],
+            residue_mask * (1.0 - known_real),
+        )
+        return seq, inv2
+
+    def _reveal_update(
+        self,
+        seq_pred: jnp.ndarray,
+        comm_mask: jnp.ndarray,
+        comm_oh: jnp.ndarray,
+        inv2: jnp.ndarray,
+        n_inv: jnp.ndarray,
+        t_scalar: jnp.ndarray,
+        kc: jax.Array,
+        kg: jax.Array,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One sticky-reveal commitment step, shared by the DDPM and DDIM
+        absorbing samplers: cumulative target floor(n_inv * g(r)) at
+        progress r = 1 - t/T (t the CURRENT schedule timestep, so the
+        DDIM tau grid lands on the same commitment curve the DDPM path
+        walks); newly committed = top-ranked STILL-ABSORBED candidates
+        (most confident, optionally temperature-sampled / gumbel-noised
+        per ModelConfig.reveal_*). t=0 implies full commitment."""
+        cfg = self.cfg
+        probs = jax.nn.softmax(seq_pred, axis=-1)
+        if cfg.reveal_temperature > 0.0:
+            # Gumbel-max sampling over the 20 real classes at
+            # temperature tau; rank by the sampled class's probability.
+            g = jax.random.gumbel(kc, probs[..., 1:].shape)
+            cls = jnp.argmax(
+                seq_pred[..., 1:] / cfg.reveal_temperature + g, axis=-1
+            ) + 1
+            conf = jnp.take_along_axis(
+                probs, cls[..., None], axis=-1
+            )[..., 0]
+        else:
+            conf = jnp.max(probs[..., 1:], axis=-1)
+            cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
+        cand = (inv2 > 0.5) & (comm_mask < 0.5)
+        frac = 1.0 - t_scalar.astype(jnp.float32) / cfg.num_steps
+        if cfg.reveal_schedule == "cosine":
+            frac = 1.0 - jnp.cos(0.5 * jnp.pi * frac)
+        k_t = jnp.floor(n_inv * frac)
+        n_new = jnp.maximum(
+            k_t - jnp.sum(comm_mask, axis=-1, keepdims=True), 0.0
+        )
+        score = -jnp.log(conf + 1e-9)
+        if cfg.reveal_conf_noise > 0.0:
+            anneal = t_scalar.astype(jnp.float32) / cfg.num_steps
+            score = score - cfg.reveal_conf_noise * anneal * (
+                jax.random.gumbel(kg, score.shape)
+            )
+        score = jnp.where(cand, score, 1e10)
+        new = (
+            (_rank(score, axis=-1) < n_new) & cand
+        ).astype(jnp.float32)
+        comm_mask = comm_mask + new
+        comm_oh = comm_oh + new[..., None] * (
+            jax.nn.one_hot(cls, NUM_CLASSES, dtype=jnp.float32) * 2.0
+            - 1.0
+        )
+        return comm_mask, comm_oh
+
     def _sample_absorbing(
         self,
         params: Any,
@@ -650,8 +735,7 @@ class ProteinReDiffModel:
         x = batch["x"]
         mask = batch["residue_and_atom_mask"]
         residue_mask = batch["residue_mask"]
-        seq = batch["residue_one_hot"]           # known one-hots, 0 at inv
-        inv2 = batch["residue_inv_extra_mask"]   # [B, N]
+        seq, inv2 = self._absorbing_known_and_designable(batch)
         B = x.shape[0]
         n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
         time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
@@ -676,45 +760,8 @@ class ProteinReDiffModel:
             noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
             std = sched.sqrt_betas[t][:, None, None]
             z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
-            # Sticky reveal: cumulative target floor(n_inv * g(r)), r the
-            # progress 1 - t/T; newly committed = top-ranked STILL-ABSORBED
-            # candidates (most confident, optionally noised).
-            probs = jax.nn.softmax(seq_pred, axis=-1)
-            if cfg.reveal_temperature > 0.0:
-                # Gumbel-max sampling over the 20 real classes at
-                # temperature tau; rank by the sampled class's probability.
-                g = jax.random.gumbel(kc, probs[..., 1:].shape)
-                cls = jnp.argmax(
-                    seq_pred[..., 1:] / cfg.reveal_temperature + g, axis=-1
-                ) + 1
-                conf = jnp.take_along_axis(
-                    probs, cls[..., None], axis=-1
-                )[..., 0]
-            else:
-                conf = jnp.max(probs[..., 1:], axis=-1)
-                cls = jnp.argmax(probs[..., 1:], axis=-1) + 1
-            cand = (inv2 > 0.5) & (comm_mask < 0.5)
-            frac = 1.0 - t_scalar.astype(jnp.float32) / cfg.num_steps
-            if cfg.reveal_schedule == "cosine":
-                frac = 1.0 - jnp.cos(0.5 * jnp.pi * frac)
-            k_t = jnp.floor(n_inv * frac)
-            n_new = jnp.maximum(
-                k_t - jnp.sum(comm_mask, axis=-1, keepdims=True), 0.0
-            )
-            score = -jnp.log(conf + 1e-9)
-            if cfg.reveal_conf_noise > 0.0:
-                anneal = t_scalar.astype(jnp.float32) / cfg.num_steps
-                score = score - cfg.reveal_conf_noise * anneal * (
-                    jax.random.gumbel(kg, score.shape)
-                )
-            score = jnp.where(cand, score, 1e10)
-            new = (
-                (_rank(score, axis=-1) < n_new) & cand
-            ).astype(jnp.float32)
-            comm_mask = comm_mask + new
-            comm_oh = comm_oh + new[..., None] * (
-                jax.nn.one_hot(cls, NUM_CLASSES, dtype=jnp.float32) * 2.0
-                - 1.0
+            comm_mask, comm_oh = self._reveal_update(
+                seq_pred, comm_mask, comm_oh, inv2, n_inv, t_scalar, kc, kg
             )
             return (z_next, comm_mask, comm_oh), None
 
@@ -748,11 +795,6 @@ class ProteinReDiffModel:
                 f"seq_reverse must be 'reference' or 'ancestral', "
                 f"got {cfg.seq_reverse!r}"
             )
-        if cfg.seq_process == "absorbing":
-            raise NotImplementedError(
-                "seq_process='absorbing' is implemented for the ddpm "
-                "sampler (ProteinReDiffModel.sample); use --sampler ddpm"
-            )
         sched = self.schedule
         T = cfg.num_steps
         k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
@@ -768,10 +810,6 @@ class ProteinReDiffModel:
         B = x.shape[0]
 
         z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
-        s0 = remove_mean(
-            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
-        )
-        s0 = extra * seq + inv * s0
 
         # Descending timestep subsequence tau_0 > tau_1 > ... > tau_{S-1}=0,
         # with alpha_bar_prev at the final step = 1 (x0 endpoint). Computed
@@ -784,6 +822,15 @@ class ProteinReDiffModel:
             _np.round(_np.linspace(T - 1, 0, ddim_steps)).astype(_np.int32)
         )
         taus_prev = jnp.concatenate([taus[1:], jnp.array([-1])])
+
+        if cfg.seq_process == "absorbing":
+            return self._sample_ddim_absorbing(
+                params, batch, z0, k_scan, taus, taus_prev, eta
+            )
+        s0 = remove_mean(
+            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+        )
+        s0 = extra * seq + inv * s0
 
         def step(carry, inp):
             z_t, seq_t, _ = carry
@@ -834,3 +881,83 @@ class ProteinReDiffModel:
         )
         pos = nanometre_to_angstrom(z_final)
         return pos, residue_mask[..., None] * seq_pred_last
+
+    def _sample_ddim_absorbing(
+        self,
+        params: Any,
+        batch: Batch,
+        z0: jnp.ndarray,
+        k_scan: jax.Array,
+        taus: jnp.ndarray,
+        taus_prev: jnp.ndarray,
+        eta: float,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Absorbing-mode DDIM sampler body: the coordinate channel runs
+        the DDIM update over the ``taus`` subsequence while unknown
+        residues are revealed by the same sticky confidence-ranked
+        commitment as the DDPM path (``_reveal_update``) — the commitment
+        target is evaluated at the CURRENT tau, so a ddim_steps-long run
+        walks the same reveal curve at coarser granularity and the final
+        tau=0 step commits every remaining position. This is the serving
+        configuration for sequence design: 10-40x fewer denoiser evals
+        (BASELINE.md sampler sweep) with the only weight-dependent
+        sequence channel (BASELINE.md absorbing tables)."""
+        cfg = self.cfg
+        if cfg.reveal_schedule not in ("linear", "cosine"):
+            raise ValueError(
+                f"reveal_schedule must be 'linear' or 'cosine', "
+                f"got {cfg.reveal_schedule!r}"
+            )
+        sched = self.schedule
+        x = batch["x"]
+        mask = batch["residue_and_atom_mask"]
+        residue_mask = batch["residue_mask"]
+        seq, inv2 = self._absorbing_known_and_designable(batch)
+        B = x.shape[0]
+        n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
+
+        def step(carry, inp):
+            z_t, comm_mask, comm_oh = carry
+            tau, tau_prev, k = inp
+            kz, kc, kg = jax.random.split(k, 3)
+            t = jnp.broadcast_to(tau, (B,))
+            seq_t = seq + comm_oh  # absorbed positions stay zero rows
+            noise_pred, seq_pred = self.apply(
+                params, batch, z_t, seq_t, mask, t
+            )
+            # Coordinate DDIM update (same math as sample_ddim).
+            a_t = sched.alphas_cumprod[tau]
+            a_prev = jnp.where(
+                tau_prev < 0, 1.0,
+                sched.alphas_cumprod[jnp.maximum(tau_prev, 0)],
+            )
+            x0_pred = (
+                z_t - jnp.sqrt(1.0 - a_t) * noise_pred
+            ) / jnp.sqrt(a_t)
+            x0_pred = remove_mean(x0_pred, mask)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+                * jnp.sqrt(1.0 - a_t / a_prev)
+            )
+            dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
+            noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
+            z_next = (
+                jnp.sqrt(a_prev) * x0_pred
+                + dir_coeff * noise_pred
+                + sigma * noise
+            )
+            comm_mask, comm_oh = self._reveal_update(
+                seq_pred, comm_mask, comm_oh, inv2, n_inv, tau, kc, kg
+            )
+            return (z_next, comm_mask, comm_oh), None
+
+        keys = jax.random.split(k_scan, taus.shape[0])
+        comm0 = jnp.zeros_like(inv2)
+        oh0 = jnp.zeros_like(seq)
+        (z_final, comm_mask, comm_oh), _ = jax.lax.scan(
+            step, (z0, comm0, oh0), (taus, taus_prev, keys)
+        )
+        pos = nanometre_to_angstrom(z_final)
+        logits = residue_mask[..., None] * (seq + comm_oh)
+        return pos, logits

@@ -137,6 +137,18 @@ def test_absorbing_overfit_recovers_masked_sequence():
     rec_cos = ((pred == true) & invm).sum() / max(invm.sum(), 1)
     assert rec_cos > 0.8, f"cosine masked recovery {rec_cos:.2f}"
 
+    # The DDIM absorbing sampler (serving config) must preserve the
+    # learned recovery with 2x fewer denoiser evals on the same weights.
+    key = jax.random.PRNGKey(100)
+    _, logits = sampler.sample_ddim(
+        state.ema_params, batch, key, ddim_steps=4, mask_prob=0.5
+    )
+    _, invm = sampler.inference_extra_mask(key, batch["residue_mask"], 0.5)
+    invm = np.asarray(invm)[:, 4:16] > 0.5
+    pred = np.argmax(np.asarray(logits)[:, 4:16], axis=-1)
+    rec_ddim = ((pred == true) & invm).sum() / max(invm.sum(), 1)
+    assert rec_ddim > 0.8, f"ddim masked recovery {rec_ddim:.2f}"
+
 
 @pytest.mark.parametrize(
     "overrides",
@@ -220,8 +232,63 @@ def test_invalid_seq_process_raises():
         model.loss(params, batch, jax.random.PRNGKey(0))
 
 
-def test_ddim_and_paratime_reject_absorbing():
+def test_ddim_absorbing_commits_all_unknowns():
+    """The DDIM absorbing sampler must commit every unknown position to a
+    REAL class by the final tau=0 step, like the DDPM path."""
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = _batch()
+    params = ProteinReDiffModel(TINY).init_params(
+        jax.random.PRNGKey(0), batch
+    )
+    rng = np.random.RandomState(3)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(x.dtype),
+        params,
+    )
+    key = jax.random.PRNGKey(21)
+    pos, logits = model.sample_ddim(
+        params, batch, key, ddim_steps=4, mask_prob=0.5
+    )
+    assert np.isfinite(np.asarray(pos)).all()
+    _, invm = model.inference_extra_mask(key, batch["residue_mask"], 0.5)
+    invm = np.asarray(invm)[:, 4:16] > 0.5
+    pred = np.argmax(np.asarray(logits)[:, 4:16], axis=-1)
+    assert (pred[invm] > 0).all(), "absorbed row survived to the output"
+
+
+@pytest.mark.parametrize("use_ddim", [False, True])
+def test_user_x_positions_always_designed(use_ddim):
+    """Residues the USER marked unknown ('X' -> class 0) must be designed
+    even when the random inference mask skips them (mask_prob=0): the
+    Gaussian path papers over them with softmax logits, the absorbing
+    path must treat them as absorbed-and-designable, not echo X."""
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = dict(_batch())
+    labels = np.asarray(batch["residue_type"]).copy()
+    labels[:, 6:9] = 0  # user-X rows inside the residue span
+    batch["residue_type"] = jnp.asarray(labels)
+    params = ProteinReDiffModel(TINY).init_params(
+        jax.random.PRNGKey(0), batch
+    )
+    rng = np.random.RandomState(3)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(x.dtype),
+        params,
+    )
+    key = jax.random.PRNGKey(31)
+    if use_ddim:
+        _, logits = model.sample_ddim(
+            params, batch, key, ddim_steps=4, mask_prob=0.0
+        )
+    else:
+        _, logits = model.sample(params, batch, key, mask_prob=0.0)
+    pred = np.argmax(np.asarray(logits)[:, 6:9], axis=-1)
+    assert (pred > 0).all(), f"user-X rows echoed X: {pred}"
+
+
+def test_paratime_rejects_absorbing():
     from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.models.paratime import sample_ddim_parallel
 
     model = ProteinReDiffModel(
         TINY.replace(training_mode=False)
@@ -231,6 +298,8 @@ def test_ddim_and_paratime_reject_absorbing():
         jax.random.PRNGKey(0), batch
     )
     with pytest.raises(NotImplementedError, match="absorbing"):
-        model.sample_ddim(params, batch, jax.random.PRNGKey(0))
+        sample_ddim_parallel(model, params, batch, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="absorbing"):
-        SamplingRunner(model, params={}, sampler="ddim")
+        SamplingRunner(model, params={}, sampler="ddim_parallel")
+    # ddim IS supported for absorbing checkpoints (serving config).
+    SamplingRunner(model, params={}, sampler="ddim")
