@@ -44,20 +44,24 @@ assert cfg.seq_process == "absorbing", "needs an absorbing checkpoint"
 val_ids = load_split_ids(DATA, "val")
 
 CONFIGS = [
-    ("linear_argmax", dict()),
-    ("cosine_argmax", dict(reveal_schedule="cosine")),
+    ("linear_argmax", dict(), dict()),
+    ("cosine_argmax", dict(reveal_schedule="cosine"), dict()),
     ("cosine_temp05", dict(reveal_schedule="cosine",
-                           reveal_temperature=0.5)),
-    ("linear_noise10", dict(reveal_conf_noise=1.0)),
+                           reveal_temperature=0.5), dict()),
+    ("linear_noise10", dict(reveal_conf_noise=1.0), dict()),
+    # Serving config: absorbing reveal over the DDIM-50 coordinate grid
+    # (20x fewer denoiser evals than the full-T DDPM rows above).
+    ("linear_ddim50", dict(), dict(sampler="ddim", ddim_steps=50)),
 ]
 
 out = {}
-for label, overrides in CONFIGS:
+for label, overrides, runner_kw in CONFIGS:
     model = ProteinReDiffModel(
         cfg.replace(training_mode=False, **overrides)
     )
     runner = SamplingRunner(
-        model, params, batch_size=NUM_SAMPLES, mask_prob=MASK_PROB
+        model, params, batch_size=NUM_SAMPLES, mask_prob=MASK_PROB,
+        **runner_kw,
     )
     t0 = time.perf_counter()
     rows = eval_complexes(runner, val_ids, f"{DATA}/cache", NUM_SAMPLES)

@@ -848,7 +848,10 @@ class ProteinReDiffModel:
             sigma = (
                 eta
                 * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
-                * jnp.sqrt(1.0 - a_t / a_prev)
+                * jnp.sqrt(jnp.maximum(1.0 - a_t / a_prev, 0.0))
+                # max(.,0): with a repeated tau (ddim_steps > T)
+                # a_t/a_prev can round to just above 1 on TPU and
+                # the bare sqrt yields NaN even at eta=0
             )
             dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
             noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
@@ -938,7 +941,10 @@ class ProteinReDiffModel:
             sigma = (
                 eta
                 * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
-                * jnp.sqrt(1.0 - a_t / a_prev)
+                * jnp.sqrt(jnp.maximum(1.0 - a_t / a_prev, 0.0))
+                # max(.,0): with a repeated tau (ddim_steps > T)
+                # a_t/a_prev can round to just above 1 on TPU and
+                # the bare sqrt yields NaN even at eta=0
             )
             dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
             noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
