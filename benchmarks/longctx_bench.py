@@ -70,10 +70,40 @@ def bench(cfg, bucket, n_res, iters=20, label=""):
         return None
 
 
+def bench_sample(cfg, bucket, n_res, label=""):
+    """End-to-end 1000-step DDPM sample wall-clock at a long-context
+    bucket — the serving proof that the chunked path actually generates
+    at 1.5-2x the reference's practical ceiling (`generate.py:125-128`
+    warns above 384 nodes), not just that one forward fits."""
+    model = ProteinReDiffModel(cfg.replace(training_mode=False))
+    b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
+                       esm_dim=cfg.esm_dim)
+    b = {k: jnp.asarray(v) for k, v in b_np.items()}
+    params = model.init_params(jax.random.PRNGKey(0), b)
+    sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
+    try:
+        c0 = time.perf_counter()
+        _, out = timed_fetch(sample, params, b, jax.random.PRNGKey(1))
+        compile_s = time.perf_counter() - c0
+        assert np.isfinite(np.asarray(out[0])).all()
+        dt, _ = timed_fetch(sample, params, b, jax.random.PRNGKey(2))
+        print(f"{label} sample N={bucket}: {dt:.1f} s / 1000 steps "
+              f"(compile {compile_s:.0f}s)", flush=True)
+        return dt
+    except Exception as e:
+        print(f"{label} sample N={bucket}: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--buckets", default="768,1024")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--sample_bucket", type=int, default=0,
+                    help="also run a full 1000-step sample at this bucket "
+                         "with the chunked attention path (0 = skip)")
+    ap.add_argument("--sample_chunk", type=int, default=128)
     args = ap.parse_args()
     enable_compilation_cache()
     base = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
@@ -85,6 +115,12 @@ def main():
                   iters=args.iters, label=f"chunk={chunk}")
         bench(base.replace(use_pallas=True), bucket, n_res,
               iters=args.iters, label="pallas")
+    if args.sample_bucket:
+        bench_sample(
+            base.replace(attn_chunk=args.sample_chunk),
+            args.sample_bucket, args.sample_bucket - 96,
+            label=f"chunk={args.sample_chunk}",
+        )
 
 
 if __name__ == "__main__":
