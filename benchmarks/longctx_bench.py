@@ -96,6 +96,49 @@ def bench_sample(cfg, bucket, n_res, label=""):
         return None
 
 
+def bench_train(cfg, bucket, n_res, iters=10, label=""):
+    """Train-step ms/step at a long-context bucket (B=1, remat, fwd+bwd+
+    Adam+EMA in one jitted program): proves long-context TRAINING fits on
+    one chip, not just inference — the chunked attention's per-chunk
+    jax.checkpoint keeps the backward's live logits at one chunk."""
+    from protein_redesign_tpu.config import TrainConfig
+    from protein_redesign_tpu.parallel.train_step import (
+        make_train_state,
+        make_train_step,
+    )
+
+    model = ProteinReDiffModel(cfg.replace(training_mode=True))
+    b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
+                       esm_dim=cfg.esm_dim)
+    b = {k: jnp.asarray(v) for k, v in b_np.items()}
+    try:
+        state = make_train_state(
+            model, TrainConfig(), jax.random.PRNGKey(0), b
+        )
+        step = jax.jit(make_train_step(model, TrainConfig()))
+
+        @jax.jit
+        def loop(state):
+            def body(s, i):
+                s, m = step(s, b, jax.random.fold_in(jax.random.PRNGKey(1), i))
+                return s, m["loss"]
+            return jax.lax.scan(body, state, jnp.arange(iters))
+
+        c0 = time.perf_counter()
+        timed_fetch(loop, state)
+        compile_s = time.perf_counter() - c0
+        dt, (_, losses) = timed_fetch(loop, state)
+        assert np.isfinite(np.asarray(losses)).all()
+        per = dt / iters
+        print(f"{label} train N={bucket}: {per*1e3:.0f} ms/step "
+              f"(B=1; compile {compile_s:.0f}s)", flush=True)
+        return per
+    except Exception as e:
+        print(f"{label} train N={bucket}: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--buckets", default="768,1024")
@@ -104,6 +147,9 @@ def main():
                     help="also run a full 1000-step sample at this bucket "
                          "with the chunked attention path (0 = skip)")
     ap.add_argument("--sample_chunk", type=int, default=128)
+    ap.add_argument("--train_bucket", type=int, default=0,
+                    help="also time a B=1 train step at this bucket with "
+                         "the chunked attention path (0 = skip)")
     args = ap.parse_args()
     enable_compilation_cache()
     base = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
@@ -119,6 +165,12 @@ def main():
         bench_sample(
             base.replace(attn_chunk=args.sample_chunk),
             args.sample_bucket, args.sample_bucket - 96,
+            label=f"chunk={args.sample_chunk}",
+        )
+    if args.train_bucket:
+        bench_train(
+            base.replace(attn_chunk=args.sample_chunk),
+            args.train_bucket, args.train_bucket - 96,
             label=f"chunk={args.sample_chunk}",
         )
 
