@@ -146,7 +146,9 @@ def main():
     ap.add_argument("--sample_bucket", type=int, default=0,
                     help="also run a full 1000-step sample at this bucket "
                          "with the chunked attention path (0 = skip)")
-    ap.add_argument("--sample_chunk", type=int, default=128)
+    ap.add_argument("--sample_chunk", type=int, default=128,
+                    help="attn_chunk used by BOTH the --sample_bucket and "
+                         "--train_bucket rows")
     ap.add_argument("--train_bucket", type=int, default=0,
                     help="also time a B=1 train step at this bucket with "
                          "the chunked attention path (0 = skip)")

@@ -841,24 +841,8 @@ class ProteinReDiffModel:
             a_prev = jnp.where(
                 tau_prev < 0, 1.0, sched.alphas_cumprod[jnp.maximum(tau_prev, 0)]
             )
-            x0_pred = (
-                z_t - jnp.sqrt(1.0 - a_t) * noise_pred
-            ) / jnp.sqrt(a_t)
-            x0_pred = remove_mean(x0_pred, mask)
-            sigma = (
-                eta
-                * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
-                * jnp.sqrt(jnp.maximum(1.0 - a_t / a_prev, 0.0))
-                # max(.,0): with a repeated tau (ddim_steps > T)
-                # a_t/a_prev can round to just above 1 on TPU and
-                # the bare sqrt yields NaN even at eta=0
-            )
-            dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
-            noise = remove_mean(jax.random.normal(k, x.shape, x.dtype), mask)
-            z_next = (
-                jnp.sqrt(a_prev) * x0_pred
-                + dir_coeff * noise_pred
-                + sigma * noise
+            z_next = self._ddim_coord_update(
+                z_t, noise_pred, mask, a_t, a_prev, eta, k
             )
             if cfg.seq_reverse == "ancestral":
                 # Deterministic DDIM step on the seq channel, seq_pred as
@@ -885,6 +869,40 @@ class ProteinReDiffModel:
         pos = nanometre_to_angstrom(z_final)
         return pos, residue_mask[..., None] * seq_pred_last
 
+    def _ddim_coord_update(
+        self,
+        z_t: jnp.ndarray,
+        noise_pred: jnp.ndarray,
+        mask: jnp.ndarray,
+        a_t: jnp.ndarray,
+        a_prev: jnp.ndarray,
+        eta: float,
+        kz: jax.Array,
+    ) -> jnp.ndarray:
+        """One DDIM coordinate update (Song et al. 2021 eq. 12), shared by
+        the Gaussian and absorbing DDIM samplers."""
+        x0_pred = (
+            z_t - jnp.sqrt(1.0 - a_t) * noise_pred
+        ) / jnp.sqrt(a_t)
+        x0_pred = remove_mean(x0_pred, mask)
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+            * jnp.sqrt(jnp.maximum(1.0 - a_t / a_prev, 0.0))
+            # max(.,0): with a repeated tau (ddim_steps > T) a_t/a_prev
+            # can round to just above 1 on TPU and the bare sqrt yields
+            # NaN even at eta=0
+        )
+        dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
+        noise = remove_mean(
+            jax.random.normal(kz, z_t.shape, z_t.dtype), mask
+        )
+        return (
+            jnp.sqrt(a_prev) * x0_pred
+            + dir_coeff * noise_pred
+            + sigma * noise
+        )
+
     def _sample_ddim_absorbing(
         self,
         params: Any,
@@ -899,9 +917,10 @@ class ProteinReDiffModel:
         the DDIM update over the ``taus`` subsequence while unknown
         residues are revealed by the same sticky confidence-ranked
         commitment as the DDPM path (``_reveal_update``) — the commitment
-        target is evaluated at the CURRENT tau, so a ddim_steps-long run
-        walks the same reveal curve at coarser granularity and the final
-        tau=0 step commits every remaining position. This is the serving
+        target is evaluated at the CURRENT tau (the final step at t=0
+        whatever the grid), so a ddim_steps-long run walks the same
+        reveal curve at coarser granularity and the last step always
+        commits every remaining position. This is the serving
         configuration for sequence design: 10-40x fewer denoiser evals
         (BASELINE.md sampler sweep) with the only weight-dependent
         sequence channel (BASELINE.md absorbing tables)."""
@@ -928,33 +947,21 @@ class ProteinReDiffModel:
             noise_pred, seq_pred = self.apply(
                 params, batch, z_t, seq_t, mask, t
             )
-            # Coordinate DDIM update (same math as sample_ddim).
             a_t = sched.alphas_cumprod[tau]
             a_prev = jnp.where(
                 tau_prev < 0, 1.0,
                 sched.alphas_cumprod[jnp.maximum(tau_prev, 0)],
             )
-            x0_pred = (
-                z_t - jnp.sqrt(1.0 - a_t) * noise_pred
-            ) / jnp.sqrt(a_t)
-            x0_pred = remove_mean(x0_pred, mask)
-            sigma = (
-                eta
-                * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
-                * jnp.sqrt(jnp.maximum(1.0 - a_t / a_prev, 0.0))
-                # max(.,0): with a repeated tau (ddim_steps > T)
-                # a_t/a_prev can round to just above 1 on TPU and
-                # the bare sqrt yields NaN even at eta=0
+            z_next = self._ddim_coord_update(
+                z_t, noise_pred, mask, a_t, a_prev, eta, kz
             )
-            dir_coeff = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0))
-            noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
-            z_next = (
-                jnp.sqrt(a_prev) * x0_pred
-                + dir_coeff * noise_pred
-                + sigma * noise
-            )
+            # The LAST step (tau_prev < 0) evaluates the reveal target at
+            # t=0 whatever the grid: a ddim_steps=1 run has no tau=0 entry
+            # (linspace(T-1, 0, 1) == [T-1]) yet must still commit every
+            # remaining position.
+            t_reveal = jnp.where(tau_prev < 0, jnp.zeros_like(tau), tau)
             comm_mask, comm_oh = self._reveal_update(
-                seq_pred, comm_mask, comm_oh, inv2, n_inv, tau, kc, kg
+                seq_pred, comm_mask, comm_oh, inv2, n_inv, t_reveal, kc, kg
             )
             return (z_next, comm_mask, comm_oh), None
 

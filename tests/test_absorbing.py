@@ -232,9 +232,11 @@ def test_invalid_seq_process_raises():
         model.loss(params, batch, jax.random.PRNGKey(0))
 
 
-def test_ddim_absorbing_commits_all_unknowns():
+@pytest.mark.parametrize("steps", [1, 4])
+def test_ddim_absorbing_commits_all_unknowns(steps):
     """The DDIM absorbing sampler must commit every unknown position to a
-    REAL class by the final tau=0 step, like the DDPM path."""
+    REAL class by its last step, like the DDPM path — including the
+    degenerate ddim_steps=1 grid, which has no tau=0 entry."""
     model = ProteinReDiffModel(TINY.replace(training_mode=False))
     batch = _batch()
     params = ProteinReDiffModel(TINY).init_params(
@@ -247,7 +249,7 @@ def test_ddim_absorbing_commits_all_unknowns():
     )
     key = jax.random.PRNGKey(21)
     pos, logits = model.sample_ddim(
-        params, batch, key, ddim_steps=4, mask_prob=0.5
+        params, batch, key, ddim_steps=steps, mask_prob=0.5
     )
     assert np.isfinite(np.asarray(pos)).all()
     _, invm = model.inference_extra_mask(key, batch["residue_mask"], 0.5)
