@@ -33,6 +33,24 @@ def timed_fetch(fn, *args):
     return time.perf_counter() - t0, out
 
 
+_SHARED_PARAMS = None
+
+
+def shared_params(cfg):
+    """Denoiser params are independent of the complex axis N: init ONCE
+    at a small bucket (the unchunked init at N=1024 would materialize
+    the full [N,H,N,N] f32 attention logits and OOM the chip — the
+    round-2 failure mode this replaces)."""
+    global _SHARED_PARAMS
+    if _SHARED_PARAMS is None:
+        model = ProteinReDiffModel(cfg)
+        b_np = _make_batch(n_atoms=32, n_res=96, bucket=128,
+                           esm_dim=cfg.esm_dim)
+        b = {k: jnp.asarray(v) for k, v in b_np.items()}
+        _SHARED_PARAMS = model.init_params(jax.random.PRNGKey(0), b)
+    return _SHARED_PARAMS
+
+
 def bench(cfg, bucket, n_res, iters=20, label=""):
     model = ProteinReDiffModel(cfg)
     b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
@@ -42,7 +60,7 @@ def bench(cfg, bucket, n_res, iters=20, label=""):
     mask = b["atom_mask"] + b["residue_mask"]
     seq = jnp.zeros((B, N, 21))
     t = jnp.zeros((B,), jnp.int32)
-    params = model.init_params(jax.random.PRNGKey(0), b)
+    params = shared_params(cfg)
 
     @jax.jit
     def loop(params, z0):
@@ -79,7 +97,7 @@ def bench_sample(cfg, bucket, n_res, label=""):
     b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
                        esm_dim=cfg.esm_dim)
     b = {k: jnp.asarray(v) for k, v in b_np.items()}
-    params = model.init_params(jax.random.PRNGKey(0), b)
+    params = shared_params(cfg)
     sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
     try:
         c0 = time.perf_counter()
@@ -159,15 +177,27 @@ def main():
     for bucket in [int(x) for x in args.buckets.split(",")]:
         n_res = bucket - 96
         for chunk in (0, 256, 128):
-            bench(base.replace(attn_chunk=chunk), bucket, n_res,
-                  iters=args.iters, label=f"chunk={chunk}")
+            # pallas_auto_min_n=0 pins the XLA path: chunk=0 must measure
+            # the unchunked XLA lowering, not the auto-selected kernel.
+            bench(base.replace(attn_chunk=chunk, pallas_auto_min_n=0),
+                  bucket, n_res, iters=args.iters, label=f"chunk={chunk}")
         bench(base.replace(use_pallas=True), bucket, n_res,
               iters=args.iters, label="pallas")
+        # Default config: proves resolve_use_pallas picks the kernel at
+        # long context on real hardware (should match the pallas row).
+        bench(base, bucket, n_res, iters=args.iters, label="auto(default)")
     if args.sample_bucket:
         bench_sample(
             base.replace(attn_chunk=args.sample_chunk),
             args.sample_bucket, args.sample_bucket - 96,
             label=f"chunk={args.sample_chunk}",
+        )
+        # Pallas fused-attention serving row (wins at long N: 2x the
+        # unchunked XLA forward at 768 — does it carry end-to-end?).
+        bench_sample(
+            base.replace(use_pallas=True),
+            args.sample_bucket, args.sample_bucket - 96,
+            label="pallas",
         )
     if args.train_bucket:
         bench_train(

@@ -225,6 +225,11 @@ def add_sampler_args(parser) -> None:
                              "size (same numerics, O(N/chunk) less peak "
                              "HBM) — required for the 768/1024 buckets; "
                              "must divide the padded bucket size")
+    parser.add_argument("--pallas_auto_min_n", type=int, default=768,
+                        help="auto-select the fused Pallas attention "
+                             "kernel for inference once the padded "
+                             "complex axis reaches this (2x over XLA at "
+                             "N=768, BASELINE.md); 0 = always XLA")
 
 
 def sampler_cfg_overrides(args) -> Dict:
@@ -236,6 +241,7 @@ def sampler_cfg_overrides(args) -> Dict:
         reveal_temperature=args.reveal_temperature,
         reveal_conf_noise=args.reveal_conf_noise,
         attn_chunk=args.attn_chunk,
+        pallas_auto_min_n=args.pallas_auto_min_n,
     )
 
 

@@ -56,6 +56,17 @@ class ModelConfig:
     remat: bool = True             # jax.checkpoint per FoldingBlock
     use_pallas: bool = False       # Pallas fused-attention kernel (opt-in;
     #                                measured <=0.95x of XLA at paper scale)
+    pallas_auto_min_n: int = 768   # auto-enable the fused Pallas attention
+    #                                for INFERENCE forwards once the padded
+    #                                complex axis reaches this size — at
+    #                                long context it beats the XLA path
+    #                                outright (2.05x at N=768, BASELINE.md
+    #                                long-context table) because it never
+    #                                materializes the [rows,H,N,N] logits.
+    #                                Explicit --attn_chunk takes precedence;
+    #                                training keeps the XLA path (the
+    #                                kernel's backward recomputes via the
+    #                                einsum reference). 0 disables.
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
     sequence_parallel: bool = False  # shard the pair tensor's first complex

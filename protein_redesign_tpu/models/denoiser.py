@@ -394,6 +394,27 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
+def resolve_use_pallas(cfg: ModelConfig, n: int) -> bool:
+    """Effective attention-kernel choice for a padded complex axis of n.
+
+    `cfg.use_pallas` forces the fused kernel. Otherwise the kernel
+    auto-enables for inference forwards at long context
+    (n >= cfg.pallas_auto_min_n, measured 2.05x over the XLA lowering at
+    N=768 — BASELINE.md long-context table) where the XLA path's
+    [rows,H,N,N] logits HBM traffic dominates. Explicit ``attn_chunk``
+    (the memory-bounded path) and training mode (the kernel's backward
+    recomputes via the einsum reference, re-materializing those logits)
+    keep the XLA path."""
+    if cfg.use_pallas:
+        return True
+    return (
+        not cfg.training_mode
+        and cfg.attn_chunk == 0
+        and not cfg.sequence_parallel  # GSPMD can't repartition the kernel
+        and 0 < cfg.pallas_auto_min_n <= n
+    )
+
+
 class Denoiser(nn.Module):
     """OPM + SPAttention + num_blocks FoldingBlocks + symmetrization
     (reference `modules.py:346-404`)."""
@@ -412,13 +433,14 @@ class Denoiser(nn.Module):
         param_dtype = jnp.dtype(cfg.param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         mask_2d = mask[..., :, None] * mask[..., None, :]
+        use_pallas = resolve_use_pallas(cfg, single.shape[-2])
 
         pair = pair + mask_2d[..., None] * OuterProductUpdate(
             cfg.pair_dim, cfg.single_dim // 4, name="opm", **kw
         )(single, mask)
         single = SPAttention(
             cfg.single_dim, cfg.pair_dim, cfg.num_heads,
-            use_pallas=cfg.use_pallas, fast_softmax=cfg.fast_softmax,
+            use_pallas=use_pallas, fast_softmax=cfg.fast_softmax,
             attn_chunk=cfg.attn_chunk,
             name="spa_attn", **kw,
         )(single, pair, mask)
@@ -434,7 +456,7 @@ class Denoiser(nn.Module):
                 cfg.head_dim,
                 cfg.num_heads,
                 cfg.transition_factor,
-                cfg.use_pallas,
+                use_pallas,
                 cfg.fast_softmax,
                 use_pallas_trimul=cfg.use_pallas_trimul,
                 attn_chunk=cfg.attn_chunk,

@@ -88,6 +88,61 @@ class TestModelWithPallas:
         )
 
 
+class TestAutoPallasPolicy:
+    """resolve_use_pallas: auto kernel selection at long-context inference
+    (BASELINE.md long-context table: 2.05x over XLA at N=768)."""
+
+    def test_resolution_rules(self):
+        from protein_redesign_tpu.models.denoiser import resolve_use_pallas
+
+        cfg = ModelConfig(**TINY)  # pallas_auto_min_n default 768
+        assert not resolve_use_pallas(cfg, 512)
+        assert resolve_use_pallas(cfg, 768)
+        assert resolve_use_pallas(cfg, 1024)
+        # Explicit opt-in wins everywhere.
+        assert resolve_use_pallas(cfg.replace(use_pallas=True), 64)
+        # Training keeps the XLA path (kernel bwd re-materializes logits).
+        assert not resolve_use_pallas(cfg.replace(training_mode=True), 768)
+        # Explicit chunked attention (memory-bounded path) wins over auto.
+        assert not resolve_use_pallas(cfg.replace(attn_chunk=128), 768)
+        # GSPMD-sharded pair axis cannot repartition the kernel.
+        assert not resolve_use_pallas(
+            cfg.replace(sequence_parallel=True), 768
+        )
+        # 0 disables auto.
+        assert not resolve_use_pallas(
+            cfg.replace(pallas_auto_min_n=0), 4096
+        )
+
+    def test_auto_forward_matches_einsum_path(self):
+        """With the threshold lowered to the tiny bucket, the auto path
+        must produce the einsum path's numerics (interpret mode on CPU)."""
+        from __graft_entry__ import _make_batch
+
+        batch_np = _make_batch(4, 8, 16, esm_dim=16)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        m_plain = ProteinReDiffModel(
+            ModelConfig(**{**TINY, "pallas_auto_min_n": 0})
+        )
+        m_auto = ProteinReDiffModel(
+            ModelConfig(**{**TINY, "pallas_auto_min_n": 16})
+        )
+        params = m_plain.init_params(jax.random.PRNGKey(0), batch)
+        B, N = batch["residue_mask"].shape
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3))
+        seq = jnp.zeros((B, N, NUM_CLASSES))
+        mask = batch["atom_mask"] + batch["residue_mask"]
+        t = jnp.full((B,), 2, jnp.int32)
+        out1 = m_plain.apply(params, batch, z, seq, mask, t)
+        out2 = m_auto.apply(params, batch, z, seq, mask, t)
+        np.testing.assert_allclose(
+            np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1[1]), np.asarray(out2[1]), atol=1e-4, rtol=1e-4
+        )
+
+
 class TestFusedTriangleMultiply:
     """Fused tri-mul kernel (ops/pallas_trimul.py) vs the module's XLA
     path: identical param tree, matching outputs, grads via custom_vjp."""
