@@ -43,7 +43,13 @@ def shared_params(cfg):
     round-2 failure mode this replaces)."""
     global _SHARED_PARAMS
     if _SHARED_PARAMS is None:
-        model = ProteinReDiffModel(cfg)
+        # Pin the init path: plain XLA attention at the small bucket,
+        # independent of whichever row config calls first (a chunked
+        # first-caller would pass an attn_chunk that does not divide 128).
+        init_cfg = cfg.replace(
+            attn_chunk=0, use_pallas=False, pallas_auto_min_n=0
+        )
+        model = ProteinReDiffModel(init_cfg)
         b_np = _make_batch(n_atoms=32, n_res=96, bucket=128,
                            esm_dim=cfg.esm_dim)
         b = {k: jnp.asarray(v) for k, v in b_np.items()}
@@ -174,7 +180,7 @@ def main():
     enable_compilation_cache()
     base = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
                        num_steps=1000)
-    for bucket in [int(x) for x in args.buckets.split(",")]:
+    for bucket in [int(x) for x in args.buckets.split(",") if x.strip()]:
         n_res = bucket - 96
         for chunk in (0, 256, 128):
             # pallas_auto_min_n=0 pins the XLA path: chunk=0 must measure
@@ -186,23 +192,25 @@ def main():
         # Default config: proves resolve_use_pallas picks the kernel at
         # long context on real hardware (should match the pallas row).
         bench(base, bucket, n_res, iters=args.iters, label="auto(default)")
-    if args.sample_bucket:
-        bench_sample(
-            base.replace(attn_chunk=args.sample_chunk),
-            args.sample_bucket, args.sample_bucket - 96,
-            label=f"chunk={args.sample_chunk}",
-        )
-        # Pallas fused-attention serving row (wins at long N: 2x the
-        # unchunked XLA forward at 768 — does it carry end-to-end?).
-        bench_sample(
-            base.replace(use_pallas=True),
-            args.sample_bucket, args.sample_bucket - 96,
-            label="pallas",
-        )
     if args.train_bucket:
         bench_train(
             base.replace(attn_chunk=args.sample_chunk),
             args.train_bucket, args.train_bucket - 96,
+            label=f"chunk={args.sample_chunk}",
+        )
+    if args.sample_bucket:
+        # Default-config serving row first: the auto plan (fused Pallas
+        # kernel at 768) is the shipped path. The chunked row runs LAST —
+        # a 1000-step chunked sample at 768 once hard-crashed the TPU
+        # worker (not a graceful OOM), killing every row after it.
+        bench_sample(
+            base,
+            args.sample_bucket, args.sample_bucket - 96,
+            label="auto(default)",
+        )
+        bench_sample(
+            base.replace(attn_chunk=args.sample_chunk),
+            args.sample_bucket, args.sample_bucket - 96,
             label=f"chunk={args.sample_chunk}",
         )
 

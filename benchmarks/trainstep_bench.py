@@ -14,15 +14,18 @@ matter:
 
 Rows -> BASELINE.md; decides the remat default guidance in docs/SCALING.md.
 """
+import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from __graft_entry__ import _make_batch
+from longctx_bench import timed_fetch as timed
 from protein_redesign_tpu.config import ModelConfig, TrainConfig
 from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
 from protein_redesign_tpu.parallel.train_step import (
@@ -30,15 +33,6 @@ from protein_redesign_tpu.parallel.train_step import (
     make_train_step,
 )
 from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
-
-enable_compilation_cache()
-
-
-def timed(fn, *args):
-    t0 = time.perf_counter()
-    out = fn(*args)
-    _ = float(jax.tree_util.tree_leaves(out)[0].sum())
-    return time.perf_counter() - t0, out
 
 
 def measure(cfg, batch_size, bucket, n_res, label, iters=20):
@@ -81,22 +75,25 @@ def measure_sample(cfg, batch_size, bucket, n_res, label):
     }
     params = model.init_params(jax.random.PRNGKey(0), batch)
     sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
-    timed(sample, params, batch, jax.random.PRNGKey(1))  # compile
+    _, out = timed(sample, params, batch, jax.random.PRNGKey(1))  # compile
+    assert np.isfinite(np.asarray(out[0])).all()
     d, _ = timed(sample, params, batch, jax.random.PRNGKey(2))
     print(f"[{label}] 1000-step DDPM sample B={batch_size}: {d:.2f} s "
           f"({batch_size / d:.3f} samples/s/chip total)", flush=True)
 
 
-BASE = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
-                   num_steps=1000)
-H64 = BASE.replace(head_dim=64, num_heads=1, esm_dim=320)
+if __name__ == "__main__":
+    enable_compilation_cache()
+    BASE = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
+                       num_steps=1000)
+    H64 = BASE.replace(head_dim=64, num_heads=1, esm_dim=320)
 
-for remat in (True, False):
-    tag = "remat" if remat else "no-remat"
-    measure(BASE.replace(remat=remat), 2, 192, 110, f"h16x4 {tag}")
-for remat in (True, False):
-    tag = "remat" if remat else "no-remat"
-    measure(H64.replace(remat=remat), 8, 256, 110, f"h64x1 {tag}")
+    for remat in (True, False):
+        tag = "remat" if remat else "no-remat"
+        measure(BASE.replace(remat=remat), 2, 192, 110, f"h16x4 {tag}")
+    for remat in (True, False):
+        tag = "remat" if remat else "no-remat"
+        measure(H64.replace(remat=remat), 8, 256, 110, f"h64x1 {tag}")
 
-for B in (1, 4, 8):
-    measure_sample(BASE, B, 192, 110, "h16x4")
+    for B in (1, 4, 8):
+        measure_sample(BASE, B, 192, 110, "h16x4")

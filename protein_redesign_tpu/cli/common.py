@@ -15,6 +15,11 @@ from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
+
+from ..utils.platform import apply_platform_override
+
+apply_platform_override()
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -226,10 +231,12 @@ def add_sampler_args(parser) -> None:
                              "HBM) — required for the 768/1024 buckets; "
                              "must divide the padded bucket size")
     parser.add_argument("--pallas_auto_min_n", type=int, default=768,
-                        help="auto-select the fused Pallas attention "
-                             "kernel for inference once the padded "
-                             "complex axis reaches this (2x over XLA at "
-                             "N=768, BASELINE.md); 0 = always XLA")
+                        help="long-context auto attention plan from this "
+                             "padded size up: fused Pallas kernel for "
+                             "inference (2.06x over XLA at N=768, "
+                             "BASELINE.md), query-chunked attention at "
+                             "N>=1024 where nothing else compiles; "
+                             "0 = plain XLA everywhere")
 
 
 def sampler_cfg_overrides(args) -> Dict:

@@ -21,6 +21,10 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from ..utils.platform import apply_platform_override
+
+apply_platform_override()
+
 
 def main(argv=None):
     parser = ArgumentParser()

@@ -56,17 +56,20 @@ class ModelConfig:
     remat: bool = True             # jax.checkpoint per FoldingBlock
     use_pallas: bool = False       # Pallas fused-attention kernel (opt-in;
     #                                measured <=0.95x of XLA at paper scale)
-    pallas_auto_min_n: int = 768   # auto-enable the fused Pallas attention
-    #                                for INFERENCE forwards once the padded
-    #                                complex axis reaches this size — at
-    #                                long context it beats the XLA path
-    #                                outright (2.05x at N=768, BASELINE.md
-    #                                long-context table) because it never
-    #                                materializes the [rows,H,N,N] logits.
-    #                                Explicit --attn_chunk takes precedence;
-    #                                training keeps the XLA path (the
-    #                                kernel's backward recomputes via the
-    #                                einsum reference). 0 disables.
+    pallas_auto_min_n: int = 768   # long-context auto attention plan
+    #                                (models/denoiser.resolve_attention_plan;
+    #                                measured, BASELINE.md long-context
+    #                                table): once the padded complex axis
+    #                                reaches this, inference uses the fused
+    #                                Pallas attention (2.06x over XLA at
+    #                                N=768 — never materializes the
+    #                                [rows,H,N,N] logits), and training /
+    #                                N>=1024 (where both the kernel and the
+    #                                unchunked XLA lowering fail to
+    #                                compile) fall back to query-chunked
+    #                                attention. Explicit --use_pallas /
+    #                                --attn_chunk take precedence; 0
+    #                                disables the auto plan entirely.
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
     sequence_parallel: bool = False  # shard the pair tensor's first complex
@@ -159,9 +162,11 @@ class DataConfig:
     # Static-shape buckets for XLA (new; the reference pads per-batch
     # dynamically at `data.py:81`, which would force recompilation).
     buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024)
-    # The 768/1024 rungs (long-context, round 2) need
-    # ``ModelConfig.attn_chunk`` (e.g. 128) to fit: unchunked triangle-
-    # attention logits alone are ~3.6/8.6 GB bf16 there.
+    # The 768/1024 rungs (long-context, round 2) are handled by the
+    # default auto attention plan (`resolve_attention_plan`: fused Pallas
+    # kernel for inference at 768, query-chunked attention at 1024 and
+    # for long-context training) — unchunked triangle-attention logits
+    # alone are ~3.6/8.6 GB bf16 there and do not compile at 1024.
 
     def resolved_cache_dir(self) -> str:
         if self.cache_dir is not None:

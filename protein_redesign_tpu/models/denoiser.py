@@ -394,25 +394,43 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-def resolve_use_pallas(cfg: ModelConfig, n: int) -> bool:
-    """Effective attention-kernel choice for a padded complex axis of n.
+# The fused attention kernel fails to compile at N >= 1024 on v5e (the
+# unchunked XLA lowering fails there too — BASELINE.md long-context
+# table); above this, query-chunked attention is the only working path.
+PALLAS_AUTO_MAX_N = 1024
 
-    `cfg.use_pallas` forces the fused kernel. Otherwise the kernel
-    auto-enables for inference forwards at long context
-    (n >= cfg.pallas_auto_min_n, measured 2.05x over the XLA lowering at
-    N=768 — BASELINE.md long-context table) where the XLA path's
-    [rows,H,N,N] logits HBM traffic dominates. Explicit ``attn_chunk``
-    (the memory-bounded path) and training mode (the kernel's backward
-    recomputes via the einsum reference, re-materializing those logits)
-    keep the XLA path."""
+
+def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
+    """(use_pallas, attn_chunk) for a padded complex axis of n.
+
+    Explicit settings win: `cfg.use_pallas` forces the fused kernel,
+    `cfg.attn_chunk` forces query-chunked attention. Otherwise, measured
+    on v5e (BASELINE.md long-context table):
+
+    - n < pallas_auto_min_n (default 768): plain XLA — it matches or
+      beats the kernel at paper buckets (<= 0.95x there).
+    - inference at 768 <= n < 1024: the fused Pallas kernel, 2.06x over
+      the XLA lowering (it never materializes the [rows,H,N,N] logits).
+      Training keeps chunked (the kernel's custom-vjp backward recomputes
+      via the einsum reference, re-materializing those logits; NOTE the
+      guard keys on cfg.training_mode — an exotic caller differentiating
+      an inference-mode model at these sizes would hit that backward).
+      Sequence-parallel also keeps chunked (GSPMD cannot repartition the
+      kernel).
+    - n >= 1024, or long-context training: query-chunked attention
+      (chunk 128), the only path that compiles/fits there — both the
+      unchunked XLA lowering and the kernel fail at N=1024.
+    """
     if cfg.use_pallas:
-        return True
-    return (
-        not cfg.training_mode
-        and cfg.attn_chunk == 0
-        and not cfg.sequence_parallel  # GSPMD can't repartition the kernel
-        and 0 < cfg.pallas_auto_min_n <= n
-    )
+        return True, 0
+    if cfg.attn_chunk > 0:
+        return False, cfg.attn_chunk
+    if cfg.pallas_auto_min_n <= 0 or n < cfg.pallas_auto_min_n:
+        return False, 0
+    inference = not cfg.training_mode and not cfg.sequence_parallel
+    if inference and n < PALLAS_AUTO_MAX_N:
+        return True, 0
+    return False, (128 if n % 128 == 0 else 0)
 
 
 class Denoiser(nn.Module):
@@ -433,7 +451,9 @@ class Denoiser(nn.Module):
         param_dtype = jnp.dtype(cfg.param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         mask_2d = mask[..., :, None] * mask[..., None, :]
-        use_pallas = resolve_use_pallas(cfg, single.shape[-2])
+        use_pallas, attn_chunk = resolve_attention_plan(
+            cfg, single.shape[-2]
+        )
 
         pair = pair + mask_2d[..., None] * OuterProductUpdate(
             cfg.pair_dim, cfg.single_dim // 4, name="opm", **kw
@@ -441,7 +461,7 @@ class Denoiser(nn.Module):
         single = SPAttention(
             cfg.single_dim, cfg.pair_dim, cfg.num_heads,
             use_pallas=use_pallas, fast_softmax=cfg.fast_softmax,
-            attn_chunk=cfg.attn_chunk,
+            attn_chunk=attn_chunk,
             name="spa_attn", **kw,
         )(single, pair, mask)
 
@@ -459,7 +479,7 @@ class Denoiser(nn.Module):
                 use_pallas,
                 cfg.fast_softmax,
                 use_pallas_trimul=cfg.use_pallas_trimul,
-                attn_chunk=cfg.attn_chunk,
+                attn_chunk=attn_chunk,
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)

@@ -93,26 +93,42 @@ class TestAutoPallasPolicy:
     (BASELINE.md long-context table: 2.05x over XLA at N=768)."""
 
     def test_resolution_rules(self):
-        from protein_redesign_tpu.models.denoiser import resolve_use_pallas
+        from protein_redesign_tpu.models.denoiser import (
+            resolve_attention_plan,
+        )
 
         cfg = ModelConfig(**TINY)  # pallas_auto_min_n default 768
-        assert not resolve_use_pallas(cfg, 512)
-        assert resolve_use_pallas(cfg, 768)
-        assert resolve_use_pallas(cfg, 1024)
-        # Explicit opt-in wins everywhere.
-        assert resolve_use_pallas(cfg.replace(use_pallas=True), 64)
-        # Training keeps the XLA path (kernel bwd re-materializes logits).
-        assert not resolve_use_pallas(cfg.replace(training_mode=True), 768)
-        # Explicit chunked attention (memory-bounded path) wins over auto.
-        assert not resolve_use_pallas(cfg.replace(attn_chunk=128), 768)
+        # Paper buckets: plain XLA (kernel <=0.95x there).
+        assert resolve_attention_plan(cfg, 512) == (False, 0)
+        # Inference at 768: the kernel (2.06x measured).
+        assert resolve_attention_plan(cfg, 768) == (True, 0)
+        # N>=1024: only chunked attention compiles (kernel AND unchunked
+        # XLA fail on v5e) — auto falls back to chunk 128.
+        assert resolve_attention_plan(cfg, 1024) == (False, 128)
+        # Long-context training: chunked (per-chunk remat), never the
+        # kernel (its custom-vjp backward re-materializes the logits).
+        assert resolve_attention_plan(
+            cfg.replace(training_mode=True), 768
+        ) == (False, 128)
         # GSPMD-sharded pair axis cannot repartition the kernel.
-        assert not resolve_use_pallas(
+        assert resolve_attention_plan(
             cfg.replace(sequence_parallel=True), 768
-        )
-        # 0 disables auto.
-        assert not resolve_use_pallas(
+        ) == (False, 128)
+        # Explicit opt-ins win everywhere.
+        assert resolve_attention_plan(
+            cfg.replace(use_pallas=True), 64
+        ) == (True, 0)
+        assert resolve_attention_plan(
+            cfg.replace(attn_chunk=64), 768
+        ) == (False, 64)
+        # 0 disables the auto plan entirely.
+        assert resolve_attention_plan(
             cfg.replace(pallas_auto_min_n=0), 4096
-        )
+        ) == (False, 0)
+        # Non-128-divisible long sizes: no silent chunk (must be explicit).
+        assert resolve_attention_plan(
+            cfg.replace(training_mode=True), 800
+        ) == (False, 0)
 
     def test_auto_forward_matches_einsum_path(self):
         """With the threshold lowered to the tiny bucket, the auto path
