@@ -118,6 +118,56 @@ def _make_rowhead_kernel(RB: int):
     return kernel
 
 
+# Above this key length the full-key rows kernel's per-row [N, N] f32
+# logits stop compiling on v5e (Mosaic fails at N=1024 — BASELINE.md
+# long-context table); switch to the K-chunked online-softmax variant
+# whose VMEM is O(N * KCHUNK) at any N.
+ROWS_KCHUNK_MIN_N = 1024
+KCHUNK = 256
+
+
+def _make_rowhead_kchunk_kernel(RB: int, KC: int, NK: int):
+    """RB rows x ONE head per program, keys visited in NK chunks of KC
+    with a running-max/denominator (online softmax, exact up to fp
+    reassociation). The logits tile is [N, KC] instead of [N, N], so
+    VMEM stays bounded at any context length."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
+        for b in range(RB):
+            q = q_ref[b, 0]                       # [N, C]
+            N = q.shape[0]
+            C = v_ref.shape[-1]
+
+            def kstep(i, carry):
+                m_run, s_run, acc = carry
+                k = k_ref[b, 0, pl.ds(i * KC, KC)]     # [KC, C]
+                v = v_ref[b, 0, pl.ds(i * KC, KC)]     # [KC, C]
+                mk = mask_ref[b, 0, pl.ds(i * KC, KC)]  # [KC]
+                logits = jnp.dot(
+                    q, k.T, preferred_element_type=jnp.float32
+                )                                       # [N, KC]
+                logits = jnp.where(mk[None, :] < 0.5, NEG_INF, logits)
+                m_new = jnp.maximum(
+                    m_run, jnp.max(logits, axis=-1, keepdims=True)
+                )
+                scale = jnp.exp(m_run - m_new)
+                p = jnp.exp(logits - m_new)             # [N, KC]
+                s_new = s_run * scale + jnp.sum(p, axis=-1, keepdims=True)
+                acc_new = acc * scale + jnp.dot(
+                    p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                )
+                return m_new, s_new, acc_new
+
+            m0 = jnp.full((N, 1), -jnp.inf, jnp.float32)
+            s0 = jnp.zeros((N, 1), jnp.float32)
+            a0 = jnp.zeros((N, C), jnp.float32)
+            _, s_fin, acc = jax.lax.fori_loop(0, NK, kstep, (m0, s0, a0))
+            out_ref[b, 0] = (acc / s_fin).astype(out_ref.dtype)
+
+    return kernel
+
+
 def _rows_attention(qt, kt, vt, mask, interpret):
     """No-bias masked attention via the row-blocked kernel.
 
@@ -132,8 +182,12 @@ def _rows_attention(qt, kt, vt, mask, interpret):
     spec_qkv = pl.BlockSpec(
         (RB, 1, N, C), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
     )
+    if N >= ROWS_KCHUNK_MIN_N and N % KCHUNK == 0:
+        kernel = _make_rowhead_kchunk_kernel(RB, KCHUNK, N // KCHUNK)
+    else:
+        kernel = _make_rowhead_kernel(RB)
     out = pl.pallas_call(
-        _make_rowhead_kernel(RB),
+        kernel,
         grid=grid,
         in_specs=[
             spec_qkv, spec_qkv, spec_qkv,

@@ -88,6 +88,40 @@ class TestModelWithPallas:
         )
 
 
+class TestKChunkedRowsKernel:
+    """Online-softmax K-chunked rows kernel (VMEM O(N*KC) at any N —
+    the full-key variant's [N,N] logits fail to compile at N=1024)."""
+
+    def test_matches_reference(self, monkeypatch):
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "KCHUNK", 8)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_fully_masked_row_uniform(self, monkeypatch):
+        """All-masked key rows: reference semantics are a constant
+        NEG_INF logit row -> uniform probs; the online softmax must
+        reproduce that, not NaN."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "KCHUNK", 8)
+        q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
+        mask = mask.at[0].set(0.0)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+
 class TestAutoPallasPolicy:
     """resolve_use_pallas: auto kernel selection at long-context inference
     (BASELINE.md long-context table: 2.05x over XLA at N=768)."""
