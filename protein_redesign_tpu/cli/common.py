@@ -230,6 +230,13 @@ def add_sampler_args(parser) -> None:
                              "size (same numerics, O(N/chunk) less peak "
                              "HBM) — required for the 768/1024 buckets; "
                              "must divide the padded bucket size")
+    parser.add_argument("--sample_segments", type=int, default=1,
+                        help="split the DDPM sampler's T steps into this "
+                             "many host-chained device dispatches (bit-"
+                             "identical results; bounds single-execution "
+                             "runtime — required for 1000-step sampling "
+                             "at N>=768 on tunneled-TPU workers that "
+                             "crash past ~1 min, BASELINE.md)")
     parser.add_argument("--pallas_auto_min_n", type=int, default=768,
                         help="long-context auto attention plan from this "
                              "padded size up: fused Pallas kernel for "
@@ -257,6 +264,7 @@ def runner_sampler_kwargs(args) -> Dict:
     return dict(
         sampler=args.sampler, ddim_steps=args.ddim_steps, eta=args.eta,
         window=args.window, ptol=args.ptol, coarse_init=args.coarse_init,
+        segments=args.sample_segments,
     )
 
 
@@ -300,6 +308,7 @@ class SamplingRunner:
         window: int = 8,
         ptol: float = 1e-3,
         coarse_init: int = 0,
+        segments: int = 1,
     ):
         """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
         sharded over the 'data' axis and params replicated — data-parallel
@@ -355,6 +364,52 @@ class SamplingRunner:
         # long-lived serve CLI where per-request retraces would cost
         # minutes of TPU compile time each.
         self.trace_count = 0  # incremented only when jax re-traces
+
+        if segments > 1:
+            # Segmented DDPM sampling: host-chain S equal slices of the
+            # (timestep, key) streams through ONE compiled segment
+            # program — bit-identical to segments=1 (a scan over
+            # concatenated slices IS one scan), but each device dispatch
+            # runs T/S steps. Needed on tunneled-TPU platforms whose
+            # worker crashes on single executions past ~1 min
+            # (BASELINE.md long-context caveat).
+            if sampler != "ddpm":
+                raise ValueError(
+                    "--sample_segments applies to the ddpm sampler (the "
+                    "long-program case); ddim/ddim_parallel dispatches "
+                    "are already short"
+                )
+            T = model.cfg.num_steps
+            if T % segments:
+                raise ValueError(
+                    f"num_steps ({T}) must be divisible by "
+                    f"--sample_segments ({segments})"
+                )
+
+            def _init(p, b, k, mp):
+                self.trace_count += 1
+                return model.sample_init(p, b, k, mask_prob=mp)
+
+            jit_init = jax.jit(_init)
+            jit_seg = jax.jit(model.sample_segment)
+            jit_fin = jax.jit(model.sample_finish)
+            seg_len = T // segments
+
+            def _sample_segmented(p, b, k, mp):
+                prepared, carry = jit_init(p, b, k, mp)
+                k_scan = jax.random.split(k, 4)[3]
+                ts = jnp.arange(T - 1, -1, -1)
+                keys = jax.random.split(k_scan, T)
+                for s in range(segments):
+                    lo = s * seg_len
+                    carry = jit_seg(
+                        p, prepared, carry,
+                        ts[lo:lo + seg_len], keys[lo:lo + seg_len],
+                    )
+                return jit_fin(prepared, carry)
+
+            self._jit = _sample_segmented
+            return
 
         def _sample(p, b, k, mp):
             self.trace_count += 1

@@ -552,8 +552,46 @@ class ProteinReDiffModel:
                 f"seq_reverse must be 'reference' or 'ancestral', "
                 f"got {cfg.seq_reverse!r}"
             )
-        sched = self.schedule
-        k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
+        batch, carry = self.sample_init(params, batch, key, mask_prob)
+        k_scan = jax.random.split(key, 4)[3]
+        time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
+        keys = jax.random.split(k_scan, cfg.num_steps)
+        carry = self.sample_segment(params, batch, carry, time_steps, keys)
+        return self.sample_finish(batch, carry)
+
+    # ---------------------------------------------- segmented sampling API
+    # sample() = sample_init + ONE sample_segment over all T steps +
+    # sample_finish. SamplingRunner(segments=S) instead jits the three
+    # parts separately and host-chains S equal slices of the (ts, keys)
+    # streams — bit-identical results (a scan over concatenated slices IS
+    # one scan), but each device dispatch runs T/S steps. Needed on
+    # tunneled-TPU platforms whose worker crashes on single executions
+    # past ~1 min (BASELINE.md long-context caveat), and generally useful
+    # for bounded-latency cooperative serving.
+
+    def sample_init(
+        self,
+        params: Any,
+        batch: Batch,
+        key: jax.Array,
+        mask_prob: Optional[float] = None,
+    ) -> Tuple[Batch, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        """Jittable part 1/3: prepare_batch + the sampler's initial carry.
+        Key discipline identical to the reference-shaped sample()
+        (k_prep/k_z/k_seq/k_scan splits), so one-segment use reproduces
+        it exactly."""
+        cfg = self.cfg
+        if cfg.seq_reverse not in ("reference", "ancestral"):
+            raise ValueError(
+                f"seq_reverse must be 'reference' or 'ancestral', "
+                f"got {cfg.seq_reverse!r}"
+            )
+        if cfg.reveal_schedule not in ("linear", "cosine"):
+            raise ValueError(
+                f"reveal_schedule must be 'linear' or 'cosine', "
+                f"got {cfg.reveal_schedule!r}"
+            )
+        k_prep, k_z, k_seq, _k_scan = jax.random.split(key, 4)
         batch = self.prepare_batch(
             batch, k_prep, training=False, mask_prob=mask_prob
         )
@@ -561,21 +599,66 @@ class ProteinReDiffModel:
         mask = batch["residue_and_atom_mask"]
         residue_mask = batch["residue_mask"]
         seq = batch["residue_one_hot"]
+        z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
+        if cfg.seq_process == "absorbing":
+            seq_known, inv2 = self._absorbing_known_and_designable(batch)
+            carry = (z0, jnp.zeros_like(inv2), jnp.zeros_like(seq_known))
+        else:
+            extra = batch["residue_extra_mask"][..., None]
+            inv = batch["residue_inv_extra_mask"][..., None]
+            s0 = remove_mean(
+                jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
+            )
+            s0 = extra * seq + inv * s0
+            carry = (z0, s0, jnp.zeros_like(s0))
+        return batch, carry
+
+    def sample_segment(
+        self,
+        params: Any,
+        batch: Batch,
+        carry: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        time_steps: jnp.ndarray,
+        keys: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Jittable part 2/3: scan the sampler step over a contiguous
+        descending slice of the timestep/key streams."""
+        if self.cfg.seq_process == "absorbing":
+            step = self._absorbing_step_fn(params, batch)
+        else:
+            step = self._gaussian_step_fn(params, batch)
+        carry, _ = jax.lax.scan(step, carry, (time_steps, keys))
+        return carry
+
+    def sample_finish(
+        self,
+        batch: Batch,
+        carry: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Jittable part 3/3: carry -> the reference predict_step contract
+        (positions in Angstrom, residue-masked sequence logits)."""
+        residue_mask = batch["residue_mask"]
+        if self.cfg.seq_process == "absorbing":
+            z_final, _comm_mask, comm_oh = carry
+            seq_known, _ = self._absorbing_known_and_designable(batch)
+            logits = residue_mask[..., None] * (seq_known + comm_oh)
+            return nanometre_to_angstrom(z_final), logits
+        z_final, _seq_t, seq_pred_last = carry
+        pos = nanometre_to_angstrom(z_final)
+        return pos, residue_mask[..., None] * seq_pred_last
+
+    def _gaussian_step_fn(self, params: Any, batch: Batch):
+        """Reference DDPM step closure (`model.py:403-420`), shared by
+        sample() and the segmented API."""
+        cfg = self.cfg
+        sched = self.schedule
+        x = batch["x"]
+        mask = batch["residue_and_atom_mask"]
+        residue_mask = batch["residue_mask"]
+        seq = batch["residue_one_hot"]
         extra = batch["residue_extra_mask"][..., None]
         inv = batch["residue_inv_extra_mask"][..., None]
         B = x.shape[0]
-
-        z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
-        if cfg.seq_process == "absorbing":
-            return self._sample_absorbing(
-                params, batch, z0, k_scan
-            )
-        s0 = remove_mean(
-            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
-        )
-        s0 = extra * seq + inv * s0
-
-        time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
 
         def step(carry, inp):
             z_t, seq_t, _ = carry
@@ -614,13 +697,7 @@ class ProteinReDiffModel:
             z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
             return (z_next, seq_next, seq_pred), None
 
-        keys = jax.random.split(k_scan, cfg.num_steps)
-        seq_pred0 = jnp.zeros_like(s0)
-        (z_final, _, seq_pred_last), _ = jax.lax.scan(
-            step, (z0, s0, seq_pred0), (time_steps, keys)
-        )
-        pos = nanometre_to_angstrom(z_final)
-        return pos, residue_mask[..., None] * seq_pred_last
+        return step
 
     def _absorbing_known_and_designable(
         self, batch: Batch
@@ -702,22 +779,18 @@ class ProteinReDiffModel:
         )
         return comm_mask, comm_oh
 
-    def _sample_absorbing(
-        self,
-        params: Any,
-        batch: Batch,
-        z0: jnp.ndarray,
-        k_scan: jax.Array,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Absorbing-mode sampler body (seq_process='absorbing'): the
-        coordinate channel runs the reference DDPM update; unknown
-        residues are revealed by STICKY confidence-ranked commitment —
-        a position's identity is fixed using the prediction made while it
-        was still absorbed in the input (the case the CE trained), never
-        recomputed from visible-position outputs (which the absorbing CE
-        deliberately does not train). Returns (positions, logits) where
-        the logits encode known one-hots + committed one-hots, so the
-        downstream argmax decode yields the designed sequence.
+    def _absorbing_step_fn(self, params: Any, batch: Batch):
+        """Absorbing-mode sampler step closure (seq_process='absorbing'),
+        shared by sample() and the segmented API: the coordinate channel
+        runs the reference DDPM update; unknown residues are revealed by
+        STICKY confidence-ranked commitment — a position's identity is
+        fixed using the prediction made while it was still absorbed in
+        the input (the case the CE trained), never recomputed from
+        visible-position outputs (which the absorbing CE deliberately
+        does not train). The carry's comm_oh accumulates committed ±1
+        one-hots; sample_finish() turns known + committed into the output
+        logits so the downstream argmax decode yields the designed
+        sequence.
 
         Inference-time controls (ModelConfig, overridable per CLI run):
         ``reveal_schedule`` shapes the cumulative commitment target
@@ -726,19 +799,12 @@ class ProteinReDiffModel:
         softmax(logits/tau) instead of argmax; ``reveal_conf_noise`` adds
         t/T-annealed gumbel noise to the ranking scores."""
         cfg = self.cfg
-        if cfg.reveal_schedule not in ("linear", "cosine"):
-            raise ValueError(
-                f"reveal_schedule must be 'linear' or 'cosine', "
-                f"got {cfg.reveal_schedule!r}"
-            )
         sched = self.schedule
         x = batch["x"]
         mask = batch["residue_and_atom_mask"]
-        residue_mask = batch["residue_mask"]
         seq, inv2 = self._absorbing_known_and_designable(batch)
         B = x.shape[0]
         n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
-        time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)
 
         def step(carry, inp):
             z_t, comm_mask, comm_oh = carry
@@ -765,15 +831,7 @@ class ProteinReDiffModel:
             )
             return (z_next, comm_mask, comm_oh), None
 
-        keys = jax.random.split(k_scan, cfg.num_steps)
-        comm0 = jnp.zeros_like(inv2)
-        oh0 = jnp.zeros_like(seq)
-        (z_final, comm_mask, comm_oh), _ = jax.lax.scan(
-            step, (z0, comm0, oh0), (time_steps, keys)
-        )
-        pos = nanometre_to_angstrom(z_final)
-        logits = residue_mask[..., None] * (seq + comm_oh)
-        return pos, logits
+        return step
 
     def sample_ddim(
         self,
