@@ -394,10 +394,12 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-# The fused attention kernel fails to compile at N >= 1024 on v5e (the
-# unchunked XLA lowering fails there too — BASELINE.md long-context
-# table); above this, query-chunked attention is the only working path.
-PALLAS_AUTO_MAX_N = 1024
+# Beyond this the auto plan stops trusting the fused kernel: the ladder
+# tops out at 1024 and the kernel is measured there (323 ms/step, 1.83x
+# over chunked XLA — BASELINE.md long-context table); at N >= 2048 the
+# K-chunked variant would engage but has no on-chip timing yet, so the
+# auto plan falls back to query-chunked attention instead.
+PALLAS_AUTO_MAX_N = 2048
 
 
 def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
@@ -409,17 +411,18 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
 
     - n < pallas_auto_min_n (default 768): plain XLA — it matches or
       beats the kernel at paper buckets (<= 0.95x there).
-    - inference at 768 <= n < 1024: the fused Pallas kernel, 2.06x over
-      the XLA lowering (it never materializes the [rows,H,N,N] logits).
-      Training keeps chunked (the kernel's custom-vjp backward recomputes
-      via the einsum reference, re-materializing those logits; NOTE the
-      guard keys on cfg.training_mode — an exotic caller differentiating
-      an inference-mode model at these sizes would hit that backward).
+    - inference at 768 <= n < 2048: the fused Pallas kernel — 2.05x over
+      the unchunked XLA lowering at N=768 and 1.83x over chunked XLA at
+      N=1024 (it never materializes the [rows,H,N,N] logits; the rows
+      kernel runs with a 100 MB scoped-VMEM grant). Training keeps
+      chunked (the kernel's custom-vjp backward recomputes via the
+      einsum reference, re-materializing those logits; NOTE the guard
+      keys on cfg.training_mode — an exotic caller differentiating an
+      inference-mode model at these sizes would hit that backward).
       Sequence-parallel also keeps chunked (GSPMD cannot repartition the
       kernel).
-    - n >= 1024, or long-context training: query-chunked attention
-      (chunk 128), the only path that compiles/fits there — both the
-      unchunked XLA lowering and the kernel fail at N=1024.
+    - n >= 2048 (beyond the ladder/measurements), or long-context
+      training: query-chunked attention (chunk 128).
     """
     if cfg.use_pallas:
         return True, 0

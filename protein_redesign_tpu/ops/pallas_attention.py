@@ -119,10 +119,12 @@ def _make_rowhead_kernel(RB: int):
 
 
 # Above this key length the full-key rows kernel's per-row [N, N] f32
-# logits stop compiling on v5e (Mosaic fails at N=1024 — BASELINE.md
-# long-context table); switch to the K-chunked online-softmax variant
-# whose VMEM is O(N * KCHUNK) at any N.
-ROWS_KCHUNK_MIN_N = 1024
+# logits outgrow even the raised 100 MB scoped-VMEM grant (at N=2048:
+# 16 MB logits x2 x RB=8 rows); switch to the K-chunked online-softmax
+# variant whose VMEM is O(N * KCHUNK) at any N. Below it the full-key
+# kernel is faster (N=1024: 323 vs 415 ms/step denoiser forward —
+# BASELINE.md long-context table).
+ROWS_KCHUNK_MIN_N = 2048
 KCHUNK = 256
 
 
@@ -173,8 +175,14 @@ def _rows_attention(qt, kt, vt, mask, interpret):
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
     R, H, N, C = qt.shape
+    kchunked = N >= ROWS_KCHUNK_MIN_N and N % KCHUNK == 0
+    # The K-chunked kernel's unrolled rows each hold live online-softmax
+    # carries ([N,1] m/s pad to [N,128] lanes + the [N,C] accumulator);
+    # at RB=8 and N>=1024 those plus grid double-buffering blow the
+    # scoped-VMEM budget (compile fails at any grid > (1,1)) — cap RB.
+    rb_cands = (2, 1) if kchunked else (8, 4, 2, 1)
     RB = 1
-    for cand in (8, 4, 2, 1):
+    for cand in rb_cands:
         if R % cand == 0:
             RB = cand
             break
@@ -182,7 +190,7 @@ def _rows_attention(qt, kt, vt, mask, interpret):
     spec_qkv = pl.BlockSpec(
         (RB, 1, N, C), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
     )
-    if N >= ROWS_KCHUNK_MIN_N and N % KCHUNK == 0:
+    if kchunked:
         kernel = _make_rowhead_kchunk_kernel(RB, KCHUNK, N // KCHUNK)
     else:
         kernel = _make_rowhead_kernel(RB)
@@ -197,6 +205,13 @@ def _rows_attention(qt, kt, vt, mask, interpret):
         out_specs=spec_qkv,
         out_shape=jax.ShapeDtypeStruct((R, H, N, C), qt.dtype),
         interpret=interpret,
+        # The default 16 MB scoped-VMEM budget is what failed N=1024 (and
+        # f32 inputs at N=768): the unrolled rows' [N,N]-logits stacks
+        # exceed it ("Scoped allocation ... exceeded scoped vmem limit").
+        # v5e has 128 MB of VMEM; grant the kernel most of it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * R * H * N * N * C,
             bytes_accessed=8 * R * N * H * C,

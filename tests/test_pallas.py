@@ -134,11 +134,11 @@ class TestAutoPallasPolicy:
         cfg = ModelConfig(**TINY)  # pallas_auto_min_n default 768
         # Paper buckets: plain XLA (kernel <=0.95x there).
         assert resolve_attention_plan(cfg, 512) == (False, 0)
-        # Inference at 768: the kernel (2.06x measured).
+        # Inference at 768/1024: the kernel (2.05x / 1.83x measured).
         assert resolve_attention_plan(cfg, 768) == (True, 0)
-        # N>=1024: only chunked attention compiles (kernel AND unchunked
-        # XLA fail on v5e) — auto falls back to chunk 128.
-        assert resolve_attention_plan(cfg, 1024) == (False, 128)
+        assert resolve_attention_plan(cfg, 1024) == (True, 0)
+        # Beyond the ladder/measurements (>=2048): chunked fallback.
+        assert resolve_attention_plan(cfg, 2048) == (False, 128)
         # Long-context training: chunked (per-chunk remat), never the
         # kernel (its custom-vjp backward re-materializes the logits).
         assert resolve_attention_plan(
