@@ -37,6 +37,13 @@ from ..models.prdiff import ProteinReDiffModel
 
 RESIDUE_TYPES_NEW = ["X"] + RESIDUE_TYPES
 
+# Auto dispatch-segmentation policy (SamplingRunner._segments_for): at
+# buckets >= the threshold, bound every DDPM dispatch to this many
+# denoiser steps (BASELINE.md long-context caveat: the tunneled worker
+# crashes on single executions past ~1 min).
+SEGMENT_AUTO_MIN_BUCKET = 768
+SEGMENT_MAX_STEPS = 100
+
 
 def softmax_np(x: np.ndarray) -> np.ndarray:
     e = np.exp(x - x.max(axis=-1, keepdims=True))
@@ -230,13 +237,16 @@ def add_sampler_args(parser) -> None:
                              "size (same numerics, O(N/chunk) less peak "
                              "HBM) — required for the 768/1024 buckets; "
                              "must divide the padded bucket size")
-    parser.add_argument("--sample_segments", type=int, default=1,
+    parser.add_argument("--sample_segments", type=int, default=0,
                         help="split the DDPM sampler's T steps into this "
                              "many host-chained device dispatches (bit-"
                              "identical results; bounds single-execution "
-                             "runtime — required for 1000-step sampling "
-                             "at N>=768 on tunneled-TPU workers that "
-                             "crash past ~1 min, BASELINE.md)")
+                             "runtime). 0 = auto: one program below "
+                             "bucket 768, <=100 steps per dispatch at "
+                             "the long-context rungs (whose single-"
+                             "program runtimes exceed tunneled-TPU "
+                             "workers' ~1 min ceiling, BASELINE.md); "
+                             "1 = always one program")
     parser.add_argument("--pallas_auto_min_n", type=int, default=768,
                         help="long-context auto attention plan from this "
                              "padded size up: fused Pallas kernel for "
@@ -308,7 +318,7 @@ class SamplingRunner:
         window: int = 8,
         ptol: float = 1e-3,
         coarse_init: int = 0,
-        segments: int = 1,
+        segments: int = 0,
     ):
         """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
         sharded over the 'data' axis and params replicated — data-parallel
@@ -365,51 +375,35 @@ class SamplingRunner:
         # minutes of TPU compile time each.
         self.trace_count = 0  # incremented only when jax re-traces
 
-        if segments > 1:
-            # Segmented DDPM sampling: host-chain S equal slices of the
-            # (timestep, key) streams through ONE compiled segment
-            # program — bit-identical to segments=1 (a scan over
-            # concatenated slices IS one scan), but each device dispatch
-            # runs T/S steps. Needed on tunneled-TPU platforms whose
-            # worker crashes on single executions past ~1 min
-            # (BASELINE.md long-context caveat).
-            if sampler != "ddpm":
-                raise ValueError(
-                    "--sample_segments applies to the ddpm sampler (the "
-                    "long-program case); ddim/ddim_parallel dispatches "
-                    "are already short"
-                )
-            T = model.cfg.num_steps
-            if T % segments:
-                raise ValueError(
-                    f"num_steps ({T}) must be divisible by "
-                    f"--sample_segments ({segments})"
-                )
-
+        # Segmented DDPM sampling: host-chain S equal slices of the
+        # (timestep, key) streams through ONE compiled segment program —
+        # bit-identical to a single scan (a scan over concatenated slices
+        # IS one scan), but each device dispatch runs T/S steps. Needed
+        # on tunneled-TPU platforms whose worker crashes on single
+        # executions past ~1 min (BASELINE.md long-context caveat).
+        # segments=0 (default) resolves PER BUCKET at run time: 1 below
+        # the long-context rungs, else the smallest divisor of T keeping
+        # every dispatch at <= SEGMENT_MAX_STEPS denoiser steps.
+        self.segments = segments
+        if segments > 1 and sampler != "ddpm":
+            raise ValueError(
+                "--sample_segments applies to the ddpm sampler (the "
+                "long-program case); ddim/ddim_parallel dispatches "
+                "are already short"
+            )
+        if segments > 1 and model.cfg.num_steps % segments:
+            raise ValueError(
+                f"num_steps ({model.cfg.num_steps}) must be divisible "
+                f"by --sample_segments ({segments})"
+            )
+        if sampler == "ddpm":
             def _init(p, b, k, mp):
                 self.trace_count += 1
                 return model.sample_init(p, b, k, mask_prob=mp)
 
-            jit_init = jax.jit(_init)
-            jit_seg = jax.jit(model.sample_segment)
-            jit_fin = jax.jit(model.sample_finish)
-            seg_len = T // segments
-
-            def _sample_segmented(p, b, k, mp):
-                prepared, carry = jit_init(p, b, k, mp)
-                k_scan = jax.random.split(k, 4)[3]
-                ts = jnp.arange(T - 1, -1, -1)
-                keys = jax.random.split(k_scan, T)
-                for s in range(segments):
-                    lo = s * seg_len
-                    carry = jit_seg(
-                        p, prepared, carry,
-                        ts[lo:lo + seg_len], keys[lo:lo + seg_len],
-                    )
-                return jit_fin(prepared, carry)
-
-            self._jit = _sample_segmented
-            return
+            self._jit_init = jax.jit(_init)
+            self._jit_seg = jax.jit(model.sample_segment)
+            self._jit_fin = jax.jit(model.sample_finish)
 
         def _sample(p, b, k, mp):
             self.trace_count += 1
@@ -432,6 +426,44 @@ class SamplingRunner:
             return model.sample(p, b, k, mask_prob=mp)
 
         self._jit = jax.jit(_sample)
+
+    def _segments_for(self, bucket: int) -> int:
+        """Per-bucket dispatch segmentation (0 = auto). Auto keeps one
+        program below the long-context rungs (where the whole 1000-step
+        sample runs in seconds) and bounds each dispatch to
+        SEGMENT_MAX_STEPS steps at bucket >= SEGMENT_AUTO_MIN_BUCKET
+        (157.7 s / 352.8 s single-program runtimes at 768/1024 exceed
+        the tunneled worker's ~1 min execution ceiling, BASELINE.md)."""
+        if self.segments >= 1:
+            return self.segments
+        if self.sampler != "ddpm":
+            return 1
+        T = self.model.cfg.num_steps
+        if bucket < SEGMENT_AUTO_MIN_BUCKET or T <= SEGMENT_MAX_STEPS:
+            return 1
+        for d in range(2, T + 1):
+            if T % d == 0 and T // d <= SEGMENT_MAX_STEPS:
+                return d
+        return T
+
+    def _sample_group(self, p, b, k, mp, bucket: int):
+        S = self._segments_for(bucket)
+        if S <= 1:
+            return self._jit(p, b, k, mp)
+        model = self.model
+        T = model.cfg.num_steps
+        seg_len = T // S
+        prepared, carry = self._jit_init(p, b, k, mp)
+        k_scan = jax.random.split(k, 4)[3]
+        ts = jnp.arange(T - 1, -1, -1)
+        keys = jax.random.split(k_scan, T)
+        for s in range(S):
+            lo = s * seg_len
+            carry = self._jit_seg(
+                p, prepared, carry,
+                ts[lo:lo + seg_len], keys[lo:lo + seg_len],
+            )
+        return self._jit_fin(prepared, carry)
 
     def _put_batch(self, batch):
         if self.mesh is None:
@@ -489,7 +521,9 @@ class SamplingRunner:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             batch = self._put_batch(batch)
             key, sub = jax.random.split(key)
-            pos, seq_logits = self._jit(self.params, batch, sub, mp)
+            pos, seq_logits = self._sample_group(
+                self.params, batch, sub, mp, bucket
+            )
             pos = np.asarray(pos)
             seq_logits = np.asarray(seq_logits)
             for row, i in enumerate(idxs):

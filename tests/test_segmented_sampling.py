@@ -88,3 +88,25 @@ def test_runner_segment_validation():
         SamplingRunner(model, params, segments=3)
     with pytest.raises(ValueError, match="ddpm"):
         SamplingRunner(model, params, sampler="ddim", segments=2)
+
+
+def test_auto_segments_policy():
+    """segments=0 (default): one program below bucket 768; <=100 steps
+    per dispatch at the long-context rungs; explicit values win."""
+    from protein_redesign_tpu.cli.common import SamplingRunner
+
+    model = ProteinReDiffModel(TINY.replace(num_steps=1000))
+    params = {}  # policy only; no compute
+    r = SamplingRunner.__new__(SamplingRunner)
+    r.model, r.sampler, r.segments = model, "ddpm", 0
+    assert r._segments_for(512) == 1
+    assert r._segments_for(768) == 10   # 1000/10 = 100 steps/dispatch
+    assert r._segments_for(1024) == 10
+    r.segments = 4                       # explicit wins
+    assert r._segments_for(1024) == 4
+    r.segments, r.sampler = 0, "ddim"    # short-program samplers: never
+    assert r._segments_for(1024) == 1
+    r.sampler = "ddpm"
+    r.model = ProteinReDiffModel(TINY)   # T=8 <= 100: one program
+    r.segments = 0
+    assert r._segments_for(1024) == 1
