@@ -247,13 +247,13 @@ def add_sampler_args(parser) -> None:
                              "program runtimes exceed tunneled-TPU "
                              "workers' ~1 min ceiling, BASELINE.md); "
                              "1 = always one program")
-    parser.add_argument("--pallas_auto_min_n", type=int, default=768,
-                        help="long-context auto attention plan from this "
-                             "padded size up: fused Pallas kernel for "
-                             "inference (2.06x over XLA at N=768, "
-                             "BASELINE.md), query-chunked attention at "
-                             "N>=1024 where nothing else compiles; "
-                             "0 = plain XLA everywhere")
+    parser.add_argument("--pallas_auto_min_n", type=int, default=384,
+                        help="auto attention plan from this padded size "
+                             "up: fused Pallas kernel for inference "
+                             "(1.15x at N=384 .. 2.05x at N=768 over "
+                             "XLA, BASELINE.md), query-chunked fallback "
+                             "for training / N>=2048; 0 = plain XLA "
+                             "everywhere")
 
 
 def sampler_cfg_overrides(args) -> Dict:

@@ -56,20 +56,22 @@ class ModelConfig:
     remat: bool = True             # jax.checkpoint per FoldingBlock
     use_pallas: bool = False       # Pallas fused-attention kernel (opt-in;
     #                                measured <=0.95x of XLA at paper scale)
-    pallas_auto_min_n: int = 768   # long-context auto attention plan
+    pallas_auto_min_n: int = 384   # auto attention plan
     #                                (models/denoiser.resolve_attention_plan;
     #                                measured, BASELINE.md long-context
-    #                                table): once the padded complex axis
-    #                                reaches this, inference uses the fused
-    #                                Pallas attention (2.06x over XLA at
-    #                                N=768 — never materializes the
-    #                                [rows,H,N,N] logits), and training /
-    #                                N>=1024 (where both the kernel and the
-    #                                unchunked XLA lowering fail to
-    #                                compile) fall back to query-chunked
-    #                                attention. Explicit --use_pallas /
-    #                                --attn_chunk take precedence; 0
-    #                                disables the auto plan entirely.
+    #                                table + paper-bucket sweep): once the
+    #                                padded complex axis reaches this,
+    #                                inference uses the fused Pallas
+    #                                attention (1.15x at N=384 .. 2.05x at
+    #                                N=768 over XLA — never materializes
+    #                                the [rows,H,N,N] logits), while
+    #                                training / sequence-parallel /
+    #                                N>=2048 fall back to query-chunked
+    #                                attention at N>=768 (the unchunked
+    #                                lowering fails to compile at 1024).
+    #                                Explicit --use_pallas / --attn_chunk
+    #                                take precedence; 0 disables the auto
+    #                                plan entirely.
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
     sequence_parallel: bool = False  # shard the pair tensor's first complex

@@ -400,6 +400,11 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
 # K-chunked variant would engage but has no on-chip timing yet, so the
 # auto plan falls back to query-chunked attention instead.
 PALLAS_AUTO_MAX_N = 2048
+# From this size up, the unchunked XLA lowering stops being viable
+# (~3.6 GB bf16 triangle logits at 768; fails to compile at 1024), so
+# non-kernel modes (training, sequence-parallel, n >= PALLAS_AUTO_MAX_N)
+# fall back to query-chunked attention. Below it they keep plain XLA.
+LONGCTX_CHUNK_MIN_N = 768
 
 
 def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
@@ -407,33 +412,38 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
 
     Explicit settings win: `cfg.use_pallas` forces the fused kernel,
     `cfg.attn_chunk` forces query-chunked attention. Otherwise, measured
-    on v5e (BASELINE.md long-context table):
+    on v5e (BASELINE.md long-context table + paper-bucket sweep):
 
-    - n < pallas_auto_min_n (default 768): plain XLA — it matches or
-      beats the kernel at paper buckets (<= 0.95x there).
-    - inference at 768 <= n < 2048: the fused Pallas kernel — 2.05x over
-      the unchunked XLA lowering at N=768 and 1.83x over chunked XLA at
-      N=1024 (it never materializes the [rows,H,N,N] logits; the rows
-      kernel runs with a 100 MB scoped-VMEM grant). Training keeps
-      chunked (the kernel's custom-vjp backward recomputes via the
-      einsum reference, re-materializing those logits; NOTE the guard
-      keys on cfg.training_mode — an exotic caller differentiating an
+    - n < pallas_auto_min_n (default 384): plain XLA — it beats the
+      kernel at small buckets (1.63 vs 3.01 ms at N=128; launch overhead
+      dominates) through N=256.
+    - inference at 384 <= n < 2048: the fused Pallas kernel — 1.15x at
+      N=384, 1.39x at N=512, 2.05x at N=768, 1.83x at N=1024 (it never
+      materializes the [rows,H,N,N] logits; the rows kernel runs with a
+      100 MB scoped-VMEM grant — the earlier 0.95x verdict was the
+      default 16 MB budget starving it). Training keeps XLA/chunked (the
+      kernel's custom-vjp backward recomputes via the einsum reference,
+      re-materializing those logits; NOTE the guard keys on
+      cfg.training_mode — an exotic caller differentiating an
       inference-mode model at these sizes would hit that backward).
-      Sequence-parallel also keeps chunked (GSPMD cannot repartition the
-      kernel).
-    - n >= 2048 (beyond the ladder/measurements), or long-context
-      training: query-chunked attention (chunk 128).
+      Sequence-parallel also avoids the kernel (GSPMD cannot repartition
+      it).
+    - training / sequence-parallel / n >= 2048: plain XLA below N=768,
+      query-chunked attention (chunk 128) from there up — where the
+      unchunked lowering stops fitting (fails to compile at 1024).
     """
     if cfg.use_pallas:
         return True, 0
     if cfg.attn_chunk > 0:
         return False, cfg.attn_chunk
-    if cfg.pallas_auto_min_n <= 0 or n < cfg.pallas_auto_min_n:
+    if cfg.pallas_auto_min_n <= 0:
         return False, 0
     inference = not cfg.training_mode and not cfg.sequence_parallel
-    if inference and n < PALLAS_AUTO_MAX_N:
+    if inference and cfg.pallas_auto_min_n <= n < PALLAS_AUTO_MAX_N:
         return True, 0
-    return False, (128 if n % 128 == 0 else 0)
+    if n >= LONGCTX_CHUNK_MIN_N:
+        return False, (128 if n % 128 == 0 else 0)
+    return False, 0
 
 
 class Denoiser(nn.Module):

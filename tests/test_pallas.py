@@ -131,16 +131,23 @@ class TestAutoPallasPolicy:
             resolve_attention_plan,
         )
 
-        cfg = ModelConfig(**TINY)  # pallas_auto_min_n default 768
-        # Paper buckets: plain XLA (kernel <=0.95x there).
-        assert resolve_attention_plan(cfg, 512) == (False, 0)
-        # Inference at 768/1024: the kernel (2.05x / 1.83x measured).
+        cfg = ModelConfig(**TINY)  # pallas_auto_min_n default 384
+        # Small buckets: plain XLA (kernel launch overhead dominates
+        # through N=256 — paper-bucket sweep, BASELINE.md).
+        assert resolve_attention_plan(cfg, 256) == (False, 0)
+        # Inference at 384..1024: the kernel (1.15x..2.05x measured).
+        assert resolve_attention_plan(cfg, 384) == (True, 0)
+        assert resolve_attention_plan(cfg, 512) == (True, 0)
         assert resolve_attention_plan(cfg, 768) == (True, 0)
         assert resolve_attention_plan(cfg, 1024) == (True, 0)
         # Beyond the ladder/measurements (>=2048): chunked fallback.
         assert resolve_attention_plan(cfg, 2048) == (False, 128)
-        # Long-context training: chunked (per-chunk remat), never the
-        # kernel (its custom-vjp backward re-materializes the logits).
+        # Training: plain XLA below 768 (unchunked fits), chunked from
+        # there up (per-chunk remat); never the kernel (its custom-vjp
+        # backward re-materializes the logits).
+        assert resolve_attention_plan(
+            cfg.replace(training_mode=True), 512
+        ) == (False, 0)
         assert resolve_attention_plan(
             cfg.replace(training_mode=True), 768
         ) == (False, 128)
@@ -148,6 +155,9 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             cfg.replace(sequence_parallel=True), 768
         ) == (False, 128)
+        assert resolve_attention_plan(
+            cfg.replace(sequence_parallel=True), 512
+        ) == (False, 0)
         # Explicit opt-ins win everywhere.
         assert resolve_attention_plan(
             cfg.replace(use_pallas=True), 64
