@@ -59,19 +59,22 @@ class ModelConfig:
     pallas_auto_min_n: int = 384   # auto attention plan
     #                                (models/denoiser.resolve_attention_plan;
     #                                measured, BASELINE.md long-context
-    #                                table + paper-bucket sweep): once the
+    #                                table + paper-bucket sweeps): once the
     #                                padded complex axis reaches this,
-    #                                inference uses the fused Pallas
-    #                                attention (1.15x at N=384 .. 2.05x at
-    #                                N=768 over XLA — never materializes
-    #                                the [rows,H,N,N] logits), while
-    #                                training / sequence-parallel /
-    #                                N>=2048 fall back to query-chunked
-    #                                attention at N>=768 (the unchunked
-    #                                lowering fails to compile at 1024).
-    #                                Explicit --use_pallas / --attn_chunk
-    #                                take precedence; 0 disables the auto
-    #                                plan entirely.
+    #                                NARROW-HEAD (head_dim < 32) inference
+    #                                uses the fused Pallas attention (1.15x
+    #                                at N=384 .. 2.05x at N=768 over XLA —
+    #                                never materializes the [rows,H,N,N]
+    #                                logits; at head_dim 64 XLA's own
+    #                                lowering wins and keeps the default),
+    #                                while training / sequence-parallel /
+    #                                wide-head / N>=2048 fall back to
+    #                                query-chunked attention at N>=768
+    #                                (the unchunked lowering fails to
+    #                                compile at 1024). Explicit
+    #                                --use_pallas / --attn_chunk take
+    #                                precedence; 0 disables the auto plan
+    #                                entirely.
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
     sequence_parallel: bool = False  # shard the pair tensor's first complex

@@ -417,20 +417,23 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     - n < pallas_auto_min_n (default 384): plain XLA — it beats the
       kernel at small buckets (1.63 vs 3.01 ms at N=128; launch overhead
       dominates) through N=256.
-    - inference at 384 <= n < 2048: the fused Pallas kernel — 1.15x at
-      N=384, 1.39x at N=512, 2.05x at N=768, 1.83x at N=1024 (it never
-      materializes the [rows,H,N,N] logits; the rows kernel runs with a
-      100 MB scoped-VMEM grant — the earlier 0.95x verdict was the
-      default 16 MB budget starving it). Training keeps XLA/chunked (the
-      kernel's custom-vjp backward recomputes via the einsum reference,
-      re-materializing those logits; NOTE the guard keys on
-      cfg.training_mode — an exotic caller differentiating an
-      inference-mode model at these sizes would hit that backward).
-      Sequence-parallel also avoids the kernel (GSPMD cannot repartition
-      it).
-    - training / sequence-parallel / n >= 2048: plain XLA below N=768,
-      query-chunked attention (chunk 128) from there up — where the
-      unchunked lowering stops fitting (fails to compile at 1024).
+    - NARROW-HEAD inference (head_dim < 32, the checkpoint layout) at
+      384 <= n < 2048: the fused Pallas kernel — 1.15x at N=384, 1.39x
+      at N=512, 2.05x at N=768, 1.83x at N=1024 (it never materializes
+      the [rows,H,N,N] logits; the rows kernel runs with a 100 MB
+      scoped-VMEM grant — the earlier 0.95x verdict was the default
+      16 MB budget starving it). The win is format-bound-XLA-specific:
+      at head_dim 64 (the recommended new-training layout) XLA's own
+      lowering is efficient and the kernel LOSES (16.3 vs 22.9 ms at
+      N=384) — wide-head configs keep XLA/chunked. Training keeps
+      XLA/chunked too (the kernel's custom-vjp backward recomputes via
+      the einsum reference, re-materializing those logits; NOTE the
+      guard keys on cfg.training_mode — an exotic caller differentiating
+      an inference-mode model at these sizes would hit that backward),
+      as does sequence-parallel (GSPMD cannot repartition the kernel).
+    - everything else: plain XLA below N=768, query-chunked attention
+      (chunk 128) from there up — where the unchunked lowering stops
+      fitting (fails to compile at 1024).
     """
     if cfg.use_pallas:
         return True, 0
@@ -439,7 +442,11 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     if cfg.pallas_auto_min_n <= 0:
         return False, 0
     inference = not cfg.training_mode and not cfg.sequence_parallel
-    if inference and cfg.pallas_auto_min_n <= n < PALLAS_AUTO_MAX_N:
+    if (
+        inference
+        and cfg.head_dim < 32
+        and cfg.pallas_auto_min_n <= n < PALLAS_AUTO_MAX_N
+    ):
         return True, 0
     if n >= LONGCTX_CHUNK_MIN_N:
         return False, (128 if n % 128 == 0 else 0)

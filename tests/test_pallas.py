@@ -158,6 +158,15 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             cfg.replace(sequence_parallel=True), 512
         ) == (False, 0)
+        # Wide heads (head_dim >= 32, e.g. the recommended h64x1 layout):
+        # XLA's own lowering wins (16.3 vs 22.9 ms at N=384) — no kernel;
+        # chunked from 768 up as usual.
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=64), 512
+        ) == (False, 0)
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=64), 1024
+        ) == (False, 128)
         # Explicit opt-ins win everywhere.
         assert resolve_attention_plan(
             cfg.replace(use_pallas=True), 64
