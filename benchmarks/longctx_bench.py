@@ -94,25 +94,51 @@ def bench(cfg, bucket, n_res, iters=20, label=""):
         return None
 
 
-def bench_sample(cfg, bucket, n_res, label=""):
+def bench_sample(cfg, bucket, n_res, label="", seg_steps=50):
     """End-to-end 1000-step DDPM sample wall-clock at a long-context
-    bucket — the serving proof that the chunked path actually generates
-    at 1.5-2x the reference's practical ceiling (`generate.py:125-128`
-    warns above 384 nodes), not just that one forward fits."""
+    bucket — the serving proof that the framework generates at 2-2.7x
+    the reference's practical ceiling (`generate.py:125-128` warns above
+    384 nodes). Uses the segmented sampling API (sample_init /
+    sample_segment / sample_finish, <= seg_steps per dispatch): a
+    single T-step program at these sizes exceeds the tunneled worker's
+    ~1 min execution ceiling and hard-crashes it (BASELINE.md caveat) —
+    segmentation is bit-identical and measured at zero overhead."""
     model = ProteinReDiffModel(cfg.replace(training_mode=False))
     b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
                        esm_dim=cfg.esm_dim)
     b = {k: jnp.asarray(v) for k, v in b_np.items()}
     params = shared_params(cfg)
-    sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
+    T = cfg.num_steps
+    S = next(d for d in range(1, T + 1) if T % d == 0 and T // d <= seg_steps)
+    L = T // S
+    jit_init = jax.jit(
+        lambda p, bb, k: model.sample_init(p, bb, k, mask_prob=0.3)
+    )
+    jit_seg = jax.jit(model.sample_segment)
+    jit_fin = jax.jit(model.sample_finish)
+
+    def run(key):
+        prepared, carry = jit_init(params, b, key)
+        k_scan = jax.random.split(key, 4)[3]
+        ts = jnp.arange(T - 1, -1, -1)
+        keys = jax.random.split(k_scan, T)
+        for s in range(S):
+            carry = jit_seg(params, prepared, carry,
+                            ts[s * L:(s + 1) * L], keys[s * L:(s + 1) * L])
+        out = jit_fin(prepared, carry)
+        _ = float(out[0].sum())
+        return out
+
     try:
         c0 = time.perf_counter()
-        _, out = timed_fetch(sample, params, b, jax.random.PRNGKey(1))
+        out = run(jax.random.PRNGKey(1))
         compile_s = time.perf_counter() - c0
         assert np.isfinite(np.asarray(out[0])).all()
-        dt, _ = timed_fetch(sample, params, b, jax.random.PRNGKey(2))
-        print(f"{label} sample N={bucket}: {dt:.1f} s / 1000 steps "
-              f"(compile {compile_s:.0f}s)", flush=True)
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(2))
+        dt = time.perf_counter() - t0
+        print(f"{label} sample N={bucket}: {dt:.1f} s / {T} steps "
+              f"({S} dispatches; compile {compile_s:.0f}s)", flush=True)
         return dt
     except Exception as e:
         print(f"{label} sample N={bucket}: FAILED {type(e).__name__}: "
@@ -199,10 +225,8 @@ def main():
             label=f"chunk={args.sample_chunk}",
         )
     if args.sample_bucket:
-        # Default-config serving row first: the auto plan (fused Pallas
-        # kernel at 768) is the shipped path. The chunked row runs LAST —
-        # a 1000-step chunked sample at 768 once hard-crashed the TPU
-        # worker (not a graceful OOM), killing every row after it.
+        # Both rows run through the segmented API inside bench_sample
+        # (single T-step programs at these sizes hard-crash the worker).
         bench_sample(
             base,
             args.sample_bucket, args.sample_bucket - 96,

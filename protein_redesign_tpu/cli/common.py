@@ -37,12 +37,16 @@ from ..models.prdiff import ProteinReDiffModel
 
 RESIDUE_TYPES_NEW = ["X"] + RESIDUE_TYPES
 
-# Auto dispatch-segmentation policy (SamplingRunner._segments_for): at
-# buckets >= the threshold, bound every DDPM dispatch to this many
-# denoiser steps (BASELINE.md long-context caveat: the tunneled worker
-# crashes on single executions past ~1 min).
-SEGMENT_AUTO_MIN_BUCKET = 768
-SEGMENT_MAX_STEPS = 100
+# Auto dispatch-segmentation policy (SamplingRunner._segments_for):
+# bound every DDPM dispatch to ~SEGMENT_MAX_DISPATCH_MS of estimated
+# runtime (BASELINE.md long-context caveat: the tunneled worker crashes
+# on single executions past ~1 min — observed at B=1 N>=768 AND at
+# B=8 bucket 192). The estimate is deliberately conservative (paper-
+# scale h16x4 per-step cost, cubic in the bucket, linear in batch);
+# overestimating just adds a few ~25 ms dispatch boundaries.
+SEGMENT_REF_STEP_MS = 6.5      # measured B=1 bucket-192 DDPM step
+SEGMENT_REF_BUCKET = 192
+SEGMENT_MAX_DISPATCH_MS = 30_000.0
 
 
 def softmax_np(x: np.ndarray) -> np.ndarray:
@@ -325,6 +329,20 @@ class SamplingRunner:
         sampling across chips (the reference's DDP-predict,
         `predict_batch_strc_msk_inp.py:209-216`, the XLA way). batch_size
         should then be a multiple of the data-axis size."""
+        if mesh is not None and not model.cfg.use_pallas:
+            # Data-parallel sampling shards the batch over 'data'; GSPMD
+            # cannot repartition the Pallas kernel (the same reason
+            # resolve_attention_plan excludes sequence_parallel), so keep
+            # mesh inference on the XLA/chunked paths: raising the
+            # threshold to the plan's own ceiling disables ONLY the
+            # kernel branch while preserving the chunked fallback at the
+            # long-context rungs. Explicit --use_pallas still wins for
+            # users who shard differently.
+            from ..models.denoiser import PALLAS_AUTO_MAX_N
+
+            model = ProteinReDiffModel(
+                model.cfg.replace(pallas_auto_min_n=PALLAS_AUTO_MAX_N)
+            )
         self.model = model
         self.buckets = tuple(buckets)
         self.batch_size = batch_size
@@ -401,9 +419,17 @@ class SamplingRunner:
                 self.trace_count += 1
                 return model.sample_init(p, b, k, mask_prob=mp)
 
+            def _seg(p, b, carry, ts, keys):
+                self.trace_count += 1
+                return model.sample_segment(p, b, carry, ts, keys)
+
+            def _fin(b, carry):
+                self.trace_count += 1
+                return model.sample_finish(b, carry)
+
             self._jit_init = jax.jit(_init)
-            self._jit_seg = jax.jit(model.sample_segment)
-            self._jit_fin = jax.jit(model.sample_finish)
+            self._jit_seg = jax.jit(_seg)
+            self._jit_fin = jax.jit(_fin)
 
         def _sample(p, b, k, mp):
             self.trace_count += 1
@@ -427,27 +453,34 @@ class SamplingRunner:
 
         self._jit = jax.jit(_sample)
 
-    def _segments_for(self, bucket: int) -> int:
-        """Per-bucket dispatch segmentation (0 = auto). Auto keeps one
-        program below the long-context rungs (where the whole 1000-step
-        sample runs in seconds) and bounds each dispatch to
-        SEGMENT_MAX_STEPS steps at bucket >= SEGMENT_AUTO_MIN_BUCKET
-        (157.7 s / 352.8 s single-program runtimes at 768/1024 exceed
-        the tunneled worker's ~1 min execution ceiling, BASELINE.md)."""
+    def _segments_for(self, bucket: int, batch_rows: int) -> int:
+        """Per-group dispatch segmentation (0 = auto). Auto estimates the
+        whole sample's runtime from a conservative cost model (cubic in
+        the bucket, linear in the batch rows — the O(N^3) triangle ops
+        dominate) and splits so each dispatch stays under
+        SEGMENT_MAX_DISPATCH_MS: the tunneled worker crashes on single
+        executions past ~1 min, observed at B=1 N>=768 (157.7 s) AND at
+        B=8 bucket 192 (~97 s) — BASELINE.md."""
         if self.segments >= 1:
             return self.segments
         if self.sampler != "ddpm":
             return 1
         T = self.model.cfg.num_steps
-        if bucket < SEGMENT_AUTO_MIN_BUCKET or T <= SEGMENT_MAX_STEPS:
+        est_step_ms = (
+            SEGMENT_REF_STEP_MS
+            * max(batch_rows, 1)
+            * (bucket / SEGMENT_REF_BUCKET) ** 3
+        )
+        max_steps = max(int(SEGMENT_MAX_DISPATCH_MS / est_step_ms), 1)
+        if T <= max_steps:
             return 1
         for d in range(2, T + 1):
-            if T % d == 0 and T // d <= SEGMENT_MAX_STEPS:
+            if T % d == 0 and T // d <= max_steps:
                 return d
         return T
 
     def _sample_group(self, p, b, k, mp, bucket: int):
-        S = self._segments_for(bucket)
+        S = self._segments_for(bucket, b["residue_mask"].shape[0])
         if S <= 1:
             return self._jit(p, b, k, mp)
         model = self.model

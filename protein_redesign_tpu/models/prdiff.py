@@ -547,11 +547,6 @@ class ProteinReDiffModel:
         [B,N,21]) — the reference ``predict_step`` contract.
         """
         cfg = self.cfg
-        if cfg.seq_reverse not in ("reference", "ancestral"):
-            raise ValueError(
-                f"seq_reverse must be 'reference' or 'ancestral', "
-                f"got {cfg.seq_reverse!r}"
-            )
         batch, carry = self.sample_init(params, batch, key, mask_prob)
         k_scan = jax.random.split(key, 4)[3]
         time_steps = jnp.arange(cfg.num_steps - 1, -1, -1)

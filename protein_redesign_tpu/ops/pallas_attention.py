@@ -175,7 +175,16 @@ def _rows_attention(qt, kt, vt, mask, interpret):
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
     R, H, N, C = qt.shape
-    kchunked = N >= ROWS_KCHUNK_MIN_N and N % KCHUNK == 0
+    kc = 0
+    if N >= ROWS_KCHUNK_MIN_N:
+        # Largest chunk divisor <= KCHUNK; fall back to the full-key
+        # kernel only for pathological N no power-of-two tile divides
+        # (buckets are multiples of 128, so this always finds one).
+        for cand in (KCHUNK, KCHUNK // 2, KCHUNK // 4, KCHUNK // 8):
+            if cand > 0 and N % cand == 0:
+                kc = cand
+                break
+    kchunked = kc > 0
     # The K-chunked kernel's unrolled rows each hold live online-softmax
     # carries ([N,1] m/s pad to [N,128] lanes + the [N,C] accumulator);
     # at RB=8 and N>=1024 those plus grid double-buffering blow the
@@ -191,7 +200,7 @@ def _rows_attention(qt, kt, vt, mask, interpret):
         (RB, 1, N, C), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
     )
     if kchunked:
-        kernel = _make_rowhead_kchunk_kernel(RB, KCHUNK, N // KCHUNK)
+        kernel = _make_rowhead_kchunk_kernel(RB, kc, N // kc)
     else:
         kernel = _make_rowhead_kernel(RB)
     out = pl.pallas_call(

@@ -91,22 +91,32 @@ def test_runner_segment_validation():
 
 
 def test_auto_segments_policy():
-    """segments=0 (default): one program below bucket 768; <=100 steps
-    per dispatch at the long-context rungs; explicit values win."""
+    """segments=0 (default): bound each dispatch's ESTIMATED runtime
+    (conservative ~6.5 ms x B x (bucket/192)^3 per step, 30 s budget) —
+    catching both the B=1 long-context and B=8 bucket-192 crash cases
+    from BASELINE.md; explicit values win."""
     from protein_redesign_tpu.cli.common import SamplingRunner
 
     model = ProteinReDiffModel(TINY.replace(num_steps=1000))
-    params = {}  # policy only; no compute
     r = SamplingRunner.__new__(SamplingRunner)
     r.model, r.sampler, r.segments = model, "ddpm", 0
-    assert r._segments_for(512) == 1
-    assert r._segments_for(768) == 10   # 1000/10 = 100 steps/dispatch
-    assert r._segments_for(1024) == 10
-    r.segments = 4                       # explicit wins
-    assert r._segments_for(1024) == 4
-    r.segments, r.sampler = 0, "ddim"    # short-program samplers: never
-    assert r._segments_for(1024) == 1
+    # Short/cheap: one program.
+    assert r._segments_for(192, 1) == 1
+    assert r._segments_for(256, 1) == 1
+    # The two observed crash shapes segment:
+    assert r._segments_for(192, 8) > 1    # B=8 bucket 192 (~97 s)
+    assert r._segments_for(768, 1) >= 10  # B=1 N=768 (157.7 s)
+    assert r._segments_for(1024, 1) >= 20
+    # Estimated dispatch stays under the budget in every case.
+    for bucket, B in ((192, 8), (512, 2), (768, 1), (1024, 4)):
+        S = r._segments_for(bucket, B)
+        est = 6.5 * B * (bucket / 192) ** 3 * (1000 / S)
+        assert est <= 30_000.0 or S == 1000
+    r.segments = 4                        # explicit wins
+    assert r._segments_for(1024, 1) == 4
+    r.segments, r.sampler = 0, "ddim"     # short-program samplers: never
+    assert r._segments_for(1024, 1) == 1
     r.sampler = "ddpm"
-    r.model = ProteinReDiffModel(TINY)   # T=8 <= 100: one program
+    r.model = ProteinReDiffModel(TINY)    # T=8: fits any budget
     r.segments = 0
-    assert r._segments_for(1024) == 1
+    assert r._segments_for(256, 1) == 1
