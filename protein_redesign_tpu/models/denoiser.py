@@ -431,9 +431,13 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
       guard keys on cfg.training_mode — an exotic caller differentiating
       an inference-mode model at these sizes would hit that backward),
       as does sequence-parallel (GSPMD cannot repartition the kernel).
-    - everything else: plain XLA below N=768, query-chunked attention
-      (chunk 128) from there up — where the unchunked lowering stops
-      fitting (fails to compile at 1024).
+    - long-context training / sequence-parallel: query-chunked attention
+      (chunk 128) from N=768 up — per-chunk remat bounds the backward.
+    - everything else: plain XLA while the unchunked triangle logits
+      (~H * N^3 bytes-per-element at B=1) stay under ~4 GB — measured
+      FASTER than chunked for wide heads even at N=1024 (h64x1: 263 vs
+      293 ms) — and query-chunked beyond that (h16x4's 8.6 GB bf16
+      logits fail to compile at 1024).
     """
     if cfg.use_pallas:
         return True, 0
@@ -449,7 +453,13 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     ):
         return True, 0
     if n >= LONGCTX_CHUNK_MIN_N:
-        return False, (128 if n % 128 == 0 else 0)
+        chunk = 128 if n % 128 == 0 else 0
+        if cfg.training_mode or cfg.sequence_parallel:
+            return False, chunk
+        bpe = 2 if jnp.dtype(cfg.dtype) == jnp.bfloat16 else 4
+        logits_gb = cfg.num_heads * n**3 * bpe / 1e9  # B=1 heuristic
+        if logits_gb > 4.0:
+            return False, chunk
     return False, 0
 
 

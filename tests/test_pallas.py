@@ -159,11 +159,18 @@ class TestAutoPallasPolicy:
             cfg.replace(sequence_parallel=True), 512
         ) == (False, 0)
         # Wide heads (head_dim >= 32, e.g. the recommended h64x1 layout):
-        # XLA's own lowering wins (16.3 vs 22.9 ms at N=384) — no kernel;
-        # chunked from 768 up as usual.
+        # XLA's own lowering wins (16.3 vs 22.9 ms at N=384) — no kernel.
+        # With ONE head the unchunked logits stay small enough that plain
+        # XLA also beats chunked at 1024 (263 vs 293 ms measured), so no
+        # chunk fallback either until the ~4 GB logits heuristic trips.
         assert resolve_attention_plan(
             cfg.replace(head_dim=64), 512
         ) == (False, 0)
+        h64 = cfg.replace(head_dim=64, num_heads=1, dtype="bfloat16")
+        assert resolve_attention_plan(h64, 1024) == (False, 0)
+        assert resolve_attention_plan(h64, 2048) == (False, 128)
+        # TINY is f32 with 2 heads: 1024^3 * 2 heads * 4 B = 8.6 GB >
+        # 4 GB -> chunked fallback, matching the narrow-head case.
         assert resolve_attention_plan(
             cfg.replace(head_dim=64), 1024
         ) == (False, 128)
