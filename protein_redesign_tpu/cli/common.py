@@ -239,18 +239,17 @@ def add_sampler_args(parser) -> None:
     parser.add_argument("--attn_chunk", type=int, default=0,
                         help="evaluate attention in query chunks of this "
                              "size (same numerics, O(N/chunk) less peak "
-                             "HBM) — required for the 768/1024 buckets; "
-                             "must divide the padded bucket size")
+                             "HBM); must divide the padded bucket size. "
+                             "Usually unnecessary: the auto attention "
+                             "plan handles the 768/1024 buckets")
     parser.add_argument("--sample_segments", type=int, default=0,
                         help="split the DDPM sampler's T steps into this "
                              "many host-chained device dispatches (bit-"
                              "identical results; bounds single-execution "
-                             "runtime). 0 = auto: one program below "
-                             "bucket 768, <=100 steps per dispatch at "
-                             "the long-context rungs (whose single-"
-                             "program runtimes exceed tunneled-TPU "
-                             "workers' ~1 min ceiling, BASELINE.md); "
-                             "1 = always one program")
+                             "runtime). 0 = auto: split so each "
+                             "dispatch's estimated runtime stays ~30 s "
+                             "(tunneled-TPU workers crash past ~1 min, "
+                             "BASELINE.md); 1 = always one program")
     parser.add_argument("--pallas_auto_min_n", type=int, default=384,
                         help="auto attention plan from this padded size "
                              "up: fused Pallas kernel for inference "
@@ -399,9 +398,8 @@ class SamplingRunner:
         # IS one scan), but each device dispatch runs T/S steps. Needed
         # on tunneled-TPU platforms whose worker crashes on single
         # executions past ~1 min (BASELINE.md long-context caveat).
-        # segments=0 (default) resolves PER BUCKET at run time: 1 below
-        # the long-context rungs, else the smallest divisor of T keeping
-        # every dispatch at <= SEGMENT_MAX_STEPS denoiser steps.
+        # segments=0 (default) resolves PER GROUP at run time from a
+        # conservative runtime estimate (_segments_for).
         self.segments = segments
         if segments > 1 and sampler != "ddpm":
             raise ValueError(
