@@ -99,6 +99,32 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob):
     }
 
 
+def warmup_runner(runner, buckets, esm_dim) -> None:
+    """Precompile the sampler for each listed bucket by pushing one
+    synthetic complex through the runner. First-request latency then
+    excludes compilation (150-300 s per bucket on remote-compile TPU
+    setups); subsequent requests at those buckets are pure compute."""
+    import jax
+    import numpy as np
+
+    from ..chem.mol import mol_from_smiles, update_mol_positions
+    from ..chem.protein import protein_from_sequence
+    from ..data.featurize import ligand_to_data, protein_to_data
+
+    mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+    for bucket in buckets:
+        prot = protein_from_sequence("A" * (bucket - 2))
+        data = {
+            **ligand_to_data(mol),
+            **protein_to_data(prot, esm_dim=esm_dim),
+        }
+        print(f"[serve] warming bucket {bucket}...", file=sys.stderr,
+              flush=True)
+        runner.run([data], jax.random.PRNGKey(0))
+    if buckets:
+        print("[serve] warmup done", file=sys.stderr, flush=True)
+
+
 def main(argv=None):
     from .common import add_esm_args, add_sampler_args
 
@@ -117,6 +143,10 @@ def main(argv=None):
                         help="JSONL request file (default: stdin)")
     parser.add_argument("--output", type=str, default=None,
                         help="JSONL result file (default: stdout)")
+    parser.add_argument("--warmup_buckets", type=str, default="",
+                        help="comma-separated bucket sizes to precompile "
+                             "at startup (e.g. 192,256) so first requests "
+                             "skip the 150-300 s remote compile")
     args = parser.parse_args(argv)
 
     from ..models.prdiff import ProteinReDiffModel
@@ -151,6 +181,12 @@ def main(argv=None):
         mesh=make_inference_mesh(args.num_devices),
         **runner_sampler_kwargs(args),
     )
+    if args.warmup_buckets:
+        warmup_runner(
+            runner,
+            [int(b) for b in args.warmup_buckets.split(",") if b.strip()],
+            cfg.esm_dim,
+        )
 
     in_f = open(args.input) if args.input else sys.stdin
     out_f = open(args.output, "w") if args.output else sys.stdout

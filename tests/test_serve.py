@@ -49,6 +49,43 @@ def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
     assert "error" in broken  # handler survived unparseable JSON
 
 
+def test_warmup_precompiles_buckets(tiny_ckpt, tmp_path):  # noqa: F811
+    """warmup_runner compiles the listed buckets so a real request at the
+    same bucket does not retrace (first-request latency excludes the
+    150-300 s remote compile)."""
+    import jax
+    import numpy as np
+
+    from protein_redesign_tpu.chem import (
+        mol_from_smiles,
+        protein_from_sequence,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.cli.serve import warmup_runner
+    from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+    from __graft_entry__ import _make_batch
+    import jax.numpy as jnp
+
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = {
+        k: jnp.asarray(v) for k, v in _make_batch(4, 8, 16, esm_dim=16).items()
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    runner = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5)
+    warmup_runner(runner, [16], esm_dim=16)
+    traced = runner.trace_count
+    assert traced >= 1
+    mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+    prot = protein_from_sequence("ACDEFGHI")
+    data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+    out = runner.run([data], jax.random.PRNGKey(1))
+    assert np.isfinite(out[0][0]).all()
+    assert runner.trace_count == traced  # no retrace after warmup
+
+
 def test_serve_ddim_parallel_sampler(tiny_ckpt, tmp_path):  # noqa: F811
     """The parallel-in-time sampler behind the serve CLI."""
     from protein_redesign_tpu.cli.serve import main
