@@ -166,12 +166,14 @@ class DataConfig:
     num_workers: int = 1
     # Static-shape buckets for XLA (new; the reference pads per-batch
     # dynamically at `data.py:81`, which would force recompilation).
-    buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024)
-    # The 768/1024 rungs (long-context, round 2) are handled by the
+    buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024, 2048)
+    # The 768+ rungs (long-context, round 2) are handled by the
     # default auto attention plan (`resolve_attention_plan`: fused Pallas
     # kernel for inference at 768, query-chunked attention at 1024 and
     # for long-context training) — unchunked triangle-attention logits
-    # alone are ~3.6/8.6 GB bf16 there and do not compile at 1024.
+    # alone are ~3.6/8.6 GB bf16 there and do not compile at 1024. The
+    # 2048 rung runs the K-chunked online-softmax rows kernel
+    # (VMEM O(N*KCHUNK)) when the kernel path is selected.
 
     def resolved_cache_dir(self) -> str:
         if self.cache_dir is not None:

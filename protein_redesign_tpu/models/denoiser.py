@@ -71,49 +71,9 @@ class TriangleAttention(nn.Module):
         return out
 
 
-class _DenseParamsOnly(nn.Module):
-    """Declares the exact kernel/bias a PRLinear->nn.Dense would, without
-    any compute — lets the fused Pallas path share one parameter tree
-    (and checkpoints) with the XLA path."""
-
-    din: int
-    features: int
-    init: str
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self):
-        from .layers import make_initializer
-
-        kernel = self.param(
-            "kernel", make_initializer(self.init),
-            (self.din, self.features), self.param_dtype,
-        )
-        bias_init = (
-            nn.initializers.ones_init()
-            if self.init == "gating"
-            else nn.initializers.zeros_init()
-        )
-        bias = self.param(
-            "bias", bias_init, (self.features,), self.param_dtype
-        )
-        return kernel, bias
-
-
-class _DenseHandle(nn.Module):
-    """Nests _DenseParamsOnly under 'Dense_0' to mirror PRLinear's tree."""
-
-    din: int
-    features: int
-    init: str
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self):
-        return _DenseParamsOnly(
-            self.din, self.features, self.init, self.param_dtype,
-            name="Dense_0",
-        )()
+# Shared param-declaration helpers (moved to layers.py in round 2 so
+# GatedAttention's fused path can use them too); aliases keep old names.
+from .layers import DenseHandle as _DenseHandle  # noqa: E402
 
 
 class TriangleMultiplication(nn.Module):
@@ -151,7 +111,7 @@ class TriangleMultiplication(nn.Module):
                 ("out_proj", D, "final"),
             ):
                 kern, bias = _DenseHandle(
-                    D, dout, init, self.param_dtype, name=name
+                    D, dout, init, param_dtype=self.param_dtype, name=name
                 )()
                 params[f"{name}_kernel"] = kern
                 params[f"{name}_bias"] = bias

@@ -82,6 +82,53 @@ class PRLinear(nn.Module):
         )(x)
 
 
+class DenseParamsOnly(nn.Module):
+    """Declares the exact kernel/bias a PRLinear->nn.Dense would, without
+    any compute — lets fused Pallas paths share one parameter tree (and
+    checkpoints) with the XLA path."""
+
+    din: int
+    features: int
+    init: str
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", make_initializer(self.init),
+            (self.din, self.features), self.param_dtype,
+        )
+        if not self.use_bias:
+            return kernel, None
+        bias_init = (
+            nn.initializers.ones_init()
+            if self.init == "gating"
+            else nn.initializers.zeros_init()
+        )
+        bias = self.param(
+            "bias", bias_init, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class DenseHandle(nn.Module):
+    """Nests DenseParamsOnly under 'Dense_0' to mirror PRLinear's tree."""
+
+    din: int
+    features: int
+    init: str
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return DenseParamsOnly(
+            self.din, self.features, self.init, self.use_bias,
+            self.param_dtype, name="Dense_0",
+        )()
+
+
 class LayerNorm(nn.Module):
     """LayerNorm computed in f32; affine switchable.
 
@@ -300,6 +347,46 @@ class GatedAttention(nn.Module):
     ) -> jnp.ndarray:
         H, C = self.num_heads, self.head_dim
         D = x.shape[-1]
+        if self.use_pallas and attn_bias is None and mask is not None:
+            from ..ops.pallas_attention import (
+                ROWS_KCHUNK_MIN_N,
+                fused_gated_rows_attention,
+            )
+
+            N = x.shape[-2]
+            if N < ROWS_KCHUNK_MIN_N:
+                # Fully-fused path (triangle attention): LN + projections
+                # + softmax + gating + out-projection in ONE kernel. Same
+                # parameter tree as the XLA path below (DenseHandle).
+                handles = {}
+                for name, init, use_bias in (
+                    ("q_proj", "glorot", False),
+                    ("k_proj", "glorot", False),
+                    ("v_proj", "glorot", False),
+                    ("gate_proj", "gating", True),
+                ):
+                    handles[name] = DenseHandle(
+                        D, H * C, init, use_bias=use_bias,
+                        param_dtype=self.param_dtype, name=name,
+                    )()
+                wo, bo = DenseHandle(
+                    H * C, D, "final", param_dtype=self.param_dtype,
+                    name="out_proj",
+                )()
+                lead = x.shape[:-2]
+                R = 1
+                for d in lead:
+                    R *= d
+                xf = x.reshape((R, N, D)).astype(self.dtype)
+                maskf = jnp.broadcast_to(mask, lead + (N,)).reshape((R, N))
+                out = fused_gated_rows_attention(
+                    xf, maskf,
+                    handles["q_proj"][0], handles["k_proj"][0],
+                    handles["v_proj"][0], handles["gate_proj"][0],
+                    handles["gate_proj"][1], wo, bo, H,
+                    jax.default_backend() == "cpu",
+                )
+                return out.reshape(x.shape)
         x = LayerNorm(affine=False, dtype=self.dtype)(x)
 
         def proj(name: str, init: str, use_bias: bool) -> jnp.ndarray:

@@ -20,6 +20,7 @@ fraction of backward FLOPs; correctness first).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -228,6 +229,184 @@ def _rows_attention(qt, kt, vt, mask, interpret):
         ),
     )(qt, kt, vt, mask[:, None, :])
     return out
+
+
+def _make_fused_gated_kernel(RB: int, H: int, cdt):
+    """Fully-fused gated row attention: one program = RB rows, each row
+    LN -> per-head QKV/gate projections -> masked softmax -> gating ->
+    out-projection, accumulated across heads. Nothing but the pair rows
+    is read from HBM and nothing but the final [N, D] rows is written —
+    the XLA path round-trips LN(x), q, k, v, gate, probs and the gated
+    output through HBM (~7 extra passes over [R, N, H*C] per call)."""
+
+    def kernel(
+        p_ref, m_ref, wq_ref, wk_ref, wv_ref, wg_ref, bg_ref,
+        wo_ref, bo_ref, out_ref,
+    ):
+        C = wq_ref.shape[-1]
+        scale = 1.0 / math.sqrt(C)
+        for b in range(RB):
+            x = p_ref[b].astype(jnp.float32)          # [N, D]
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+            xl = ((x - mu) * jax.lax.rsqrt(var + 1e-5)).astype(cdt)
+            mask = m_ref[b, 0]                        # [N]
+            acc = None
+            for h in range(H):
+                q = jnp.dot(
+                    xl, wq_ref[h], preferred_element_type=jnp.float32
+                ) * scale
+                k = jnp.dot(
+                    xl, wk_ref[h], preferred_element_type=jnp.float32
+                )
+                v = jnp.dot(
+                    xl, wv_ref[h], preferred_element_type=jnp.float32
+                )
+                g = jax.nn.sigmoid(
+                    jnp.dot(
+                        xl, wg_ref[h], preferred_element_type=jnp.float32
+                    )
+                    + bg_ref[h]
+                )
+                logits = jnp.dot(
+                    q.astype(cdt), k.astype(cdt).T,
+                    preferred_element_type=jnp.float32,
+                )                                      # [N, N]
+                logits = jnp.where(mask[None, :] < 0.5, NEG_INF, logits)
+                probs = jax.nn.softmax(logits, axis=-1)
+                o = jnp.dot(
+                    probs.astype(cdt), v.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )                                      # [N, C]
+                contrib = jnp.dot(
+                    (g * o).astype(cdt), wo_ref[h],
+                    preferred_element_type=jnp.float32,
+                )                                      # [N, D]
+                acc = contrib if acc is None else acc + contrib
+            out_ref[b] = (acc + bo_ref[...]).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _fused_gated_reference(pair, mask, wq, wk, wv, wg, bg, wo, bo, num_heads):
+    """Pure-JAX math of fused_gated_rows_attention (the GatedAttention
+    module path) — backward oracle for the custom VJP."""
+    R, N, D = pair.shape
+    H = num_heads
+    C = wq.shape[-1] // H
+    dt = pair.dtype
+    x = pair.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    xl = ((x - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dt)
+    q = (xl @ wq.astype(dt)).reshape(R, N, H, C)
+    k = (xl @ wk.astype(dt)).reshape(R, N, H, C)
+    v = (xl @ wv.astype(dt)).reshape(R, N, H, C)
+    g = jax.nn.sigmoid(xl @ wg.astype(dt) + bg.astype(dt))
+    o = _attention_reference(q, k, v, mask, None, 1.0 / math.sqrt(C))
+    o = g * o.reshape(R, N, H * C)
+    return o @ wo.astype(dt) + bo.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_gated_rows_attention(
+    pair: jnp.ndarray,   # [R, N, D] rows (pre-LN)
+    mask: jnp.ndarray,   # [R, N]
+    wq: jnp.ndarray,     # [D, H*C] (q_proj kernel)
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wg: jnp.ndarray,
+    bg: jnp.ndarray,     # [H*C]
+    wo: jnp.ndarray,     # [H*C, D] (out_proj kernel)
+    bo: jnp.ndarray,     # [D]
+    num_heads: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-GatedAttention forward for the no-bias row case (triangle
+    attention, reference `modules.py:170-243`) as one Pallas kernel.
+    Inference only — training keeps the XLA path (resolve_attention_plan);
+    gradients recompute via the pure-JAX reference math."""
+    return _fused_gated_impl(
+        pair, mask, wq, wk, wv, wg, bg, wo, bo, num_heads, interpret
+    )
+
+
+def _fused_gated_impl(
+    pair, mask, wq, wk, wv, wg, bg, wo, bo, num_heads, interpret
+):
+    R, N, D = pair.shape
+    H = num_heads
+    C = wq.shape[-1] // H
+    cdt = jnp.bfloat16 if not interpret else jnp.float32
+
+    def per_head(w):  # [D, H*C] -> [H, D, C]
+        return jnp.swapaxes(w.reshape(D, H, C), 0, 1).astype(cdt)
+
+    wq_h, wk_h, wv_h, wg_h = map(per_head, (wq, wk, wv, wg))
+    wo_h = wo.reshape(H, C, D).astype(cdt)
+    bg_h = bg.reshape(H, 1, C).astype(jnp.float32)
+    bo_r = bo.reshape(1, D).astype(jnp.float32)
+
+    RB = 1
+    for cand in (8, 4, 2):
+        if R % cand == 0:
+            RB = cand
+            break
+    grid = (R // RB,)
+
+    def wspec(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        _make_fused_gated_kernel(RB, H, cdt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB, N, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((H, D, C)), wspec((H, D, C)), wspec((H, D, C)),
+            wspec((H, D, C)), wspec((H, 1, C)),
+            wspec((H, C, D)), wspec((1, D)),
+        ],
+        out_specs=pl.BlockSpec((RB, N, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, N, D), pair.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * N * N * C + 10 * R * N * D * H * C,
+            bytes_accessed=4 * R * N * D,
+            transcendentals=R * H * N * N,
+        ),
+    )(pair, mask[:, None, :], wq_h, wk_h, wv_h, wg_h, bg_h, wo_h, bo_r)
+    return out
+
+
+def _fused_gated_fwd(pair, mask, wq, wk, wv, wg, bg, wo, bo, nh, interp):
+    out = _fused_gated_impl(
+        pair, mask, wq, wk, wv, wg, bg, wo, bo, nh, interp
+    )
+    return out, (pair, mask, wq, wk, wv, wg, bg, wo, bo)
+
+
+def _fused_gated_bwd(nh, interp, res, g):
+    pair, mask, wq, wk, wv, wg, bg, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda p, q, k, v, w, b, o, ob: _fused_gated_reference(
+            p, mask, q, k, v, w, b, o, ob, nh
+        ),
+        pair, wq, wk, wv, wg, bg, wo, bo,
+    )
+    dp, dwq, dwk, dwv, dwg, dbg, dwo, dbo = vjp(g)
+    return dp, None, dwq, dwk, dwv, dwg, dbg, dwo, dbo
+
+
+fused_gated_rows_attention.defvjp(_fused_gated_fwd, _fused_gated_bwd)
 
 
 def _attention_reference(q, k, v, mask, bias, scale, fast_softmax=False):
