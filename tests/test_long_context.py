@@ -138,8 +138,9 @@ def test_bucket_ladder_long_rungs():
     assert 768 in ladder and 1024 in ladder
     assert pick_bucket(513, ladder) == 768
     assert pick_bucket(769, ladder) == 1024
+    assert pick_bucket(1025, ladder) == 2048  # K-chunked kernel rung
     with pytest.raises(ValueError, match="exceeds"):
-        pick_bucket(1025, ladder)
+        pick_bucket(2049, ladder)
     # Any power-of-two chunk <= 64 divides every rung.
     for b in ladder:
         assert b % 64 == 0 or b < 64 or b in (192, 384, 768)
