@@ -77,6 +77,12 @@ class ModelConfig:
     #                                entirely.
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
+    use_pallas_transition: bool = False  # fused LN->MLP transition kernel
+    #                                      (ops/pallas_transition.py)
+    use_pallas_outer: bool = False   # fused OuterLinear kernel
+    #                                  (ops/pallas_outer.py; never
+    #                                  materializes the [N,N,2*single_dim]
+    #                                  concat features)
     sequence_parallel: bool = False  # shard the pair tensor's first complex
     #                                  axis over the mesh 'model' axis inside
     #                                  the Denoiser (GSPMD inserts the

@@ -157,14 +157,30 @@ class TriangleMultiplication(nn.Module):
 
 class OuterLinear(nn.Module):
     """Pair update from single: Linear(cat[x_i*x_j, x_i-x_j])
-    (reference `modules.py:277-287`)."""
+    (reference `modules.py:277-287`).
+
+    ``use_pallas``: fused kernel (ops/pallas_outer.py) — never
+    materializes the [N, N, 2*single_dim] concat features in HBM
+    (~302 MB bf16 at N=384 vs a 19 MB output)."""
 
     pair_dim: int
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            from ..ops.pallas_outer import fused_outer_linear
+
+            w, b = _DenseHandle(
+                2 * x.shape[-1], self.pair_dim, "final",
+                param_dtype=self.param_dtype, name="linear",
+            )()
+            return fused_outer_linear(
+                x.astype(self.dtype), w, b,
+                jax.default_backend() == "cpu",
+            )
         x = LayerNorm(affine=False, dtype=self.dtype)(x)
         x_i = x[..., :, None, :]
         x_j = x[..., None, :, :]
@@ -285,6 +301,8 @@ class FoldingBlock(nn.Module):
     use_pallas: bool = False
     fast_softmax: bool = False
     use_pallas_trimul: bool = False
+    use_pallas_transition: bool = False
+    use_pallas_outer: bool = False
     attn_chunk: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -312,9 +330,12 @@ class FoldingBlock(nn.Module):
         )(single, mask, attn_bias=attn_bias)
         single = single + TransitionMLP(
             self.single_dim * self.transition_factor, self.single_dim,
-            name="single_fc", **kw,
+            use_pallas=self.use_pallas_transition, name="single_fc", **kw,
         )(single)
-        pair = pair + OuterLinear(self.pair_dim, name="outer_linear", **kw)(single)
+        pair = pair + OuterLinear(
+            self.pair_dim, use_pallas=self.use_pallas_outer,
+            name="outer_linear", **kw,
+        )(single)
         pair = pair + TriangleMultiplication(
             "outgoing", self.use_pallas_trimul, fast_accum=self.fast_softmax,
             name="pair_mul_outgoing", **kw
@@ -337,7 +358,7 @@ class FoldingBlock(nn.Module):
         )(pair, mask_2d)
         pair = pair + TransitionMLP(
             self.pair_dim * self.transition_factor, self.pair_dim,
-            name="pair_fc", **kw,
+            use_pallas=self.use_pallas_transition, name="pair_fc", **kw,
         )(pair)
         return single, pair
 
@@ -469,6 +490,8 @@ class Denoiser(nn.Module):
                 use_pallas,
                 cfg.fast_softmax,
                 use_pallas_trimul=cfg.use_pallas_trimul,
+                use_pallas_transition=cfg.use_pallas_transition,
+                use_pallas_outer=cfg.use_pallas_outer,
                 attn_chunk=attn_chunk,
                 name=f"folding_blocks_{i}",
                 **kw,

@@ -416,16 +416,36 @@ class GatedAttention(nn.Module):
 
 class TransitionMLP(nn.Module):
     """LN -> expand -> ReLU -> contract, 'final'-init output
-    (single_fc / pair_fc / seq_mlp / weight_radial pattern)."""
+    (single_fc / pair_fc / seq_mlp / weight_radial pattern).
+
+    ``use_pallas``: the whole transition runs as one fused kernel
+    (ops/pallas_transition.py) — no HBM round-trip of the LN copy or
+    the ``transition_factor``-x expanded hidden activations."""
 
     hidden: int
     out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     out_bias: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas:
+            from ..ops.pallas_transition import fused_transition
+
+            w1, b1 = DenseHandle(
+                x.shape[-1], self.hidden, "relu",
+                param_dtype=self.param_dtype, name="PRLinear_0",
+            )()
+            w2, b2 = DenseHandle(
+                self.hidden, self.out, "final", use_bias=self.out_bias,
+                param_dtype=self.param_dtype, name="PRLinear_1",
+            )()
+            return fused_transition(
+                x.astype(self.dtype), w1, b1, w2, b2,
+                jax.default_backend() == "cpu",
+            )
         x = LayerNorm(affine=False, dtype=self.dtype)(x)
         x = PRLinear(
             self.hidden, init="relu", dtype=self.dtype,

@@ -70,6 +70,7 @@ def _fused_transition_impl(x, w1, b1, w2, b2, interpret):
     lead = x.shape[:-1]
     D = x.shape[-1]
     Hd = w1.shape[-1]
+    Dout = w2.shape[-1]
     M = 1
     for d in lead:
         M *= d
@@ -89,11 +90,11 @@ def _fused_transition_impl(x, w1, b1, w2, b2, interpret):
     ]
     in_specs = [
         pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        wspec((D, Hd)), wspec((1, Hd)), wspec((Hd, D)),
+        wspec((D, Hd)), wspec((1, Hd)), wspec((Hd, Dout)),
     ]
     if b2 is not None:
-        args.append(b2.reshape(1, D).astype(jnp.float32))
-        in_specs.append(wspec((1, D)))
+        args.append(b2.reshape(1, Dout).astype(jnp.float32))
+        in_specs.append(wspec((1, Dout)))
         kern = functools.partial(_kernel, cdt=cdt)
     else:
         def kern(x_ref, w1_ref, b1_ref, w2_ref, out_ref):
@@ -104,20 +105,20 @@ def _fused_transition_impl(x, w1, b1, w2, b2, interpret):
         grid=(M // TM,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (TM, Dout), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, Dout), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * M * D * Hd,
-            bytes_accessed=2 * M * D * 2,
+            flops=2 * M * Hd * (D + Dout),
+            bytes_accessed=(M * D + M * Dout) * 2,
             transcendentals=0,
         ),
     )(*args)
-    return out.reshape(x.shape)
+    return out.reshape(lead + (Dout,))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
