@@ -17,6 +17,11 @@ Structures are written under --output_dir/<id>/.
 
     python -m protein_redesign_tpu.cli.serve -c ckpt -o out/ \\
         [--num_steps 1000] [--input reqs.jsonl] [--output results.jsonl]
+
+TCP mode (same JSONL protocol over a socket; concurrent clients, device
+work serialized behind one compiled runner):
+
+    python -m protein_redesign_tpu.cli.serve -c ckpt -o out/ --port 8500
 """
 
 from __future__ import annotations
@@ -125,6 +130,71 @@ def warmup_runner(runner, buckets, esm_dim) -> None:
         print("[serve] warmup done", file=sys.stderr, flush=True)
 
 
+def handle_line(line, runner, embedder, output_dir, default_mask_prob):
+    """One JSONL request line -> one result dict; never raises (bad
+    requests become {"id", "error"} results so the server keeps going)."""
+    req = None
+    try:
+        req = json.loads(line)
+        return handle_request(
+            req, runner, embedder, output_dir, default_mask_prob
+        )
+    except Exception as e:
+        req_id = req.get("id", "?") if isinstance(req, dict) else "?"
+        return {"id": str(req_id), "error": f"{type(e).__name__}: {e}"}
+
+
+def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
+              host="127.0.0.1", max_requests=None, ready_cb=None):
+    """JSONL-over-TCP server: each client connection streams request
+    lines and receives one JSON result line per request. Concurrent
+    connections are accepted (threaded); device work serializes behind a
+    lock — the single sampler program is the throughput unit, and at
+    these O(N^3)-dense shapes per-request batching is already optimal
+    (BASELINE.md batch study), so fairness-by-request beats batching
+    across clients. ``max_requests``/``ready_cb`` exist for tests."""
+    import socketserver
+    import threading
+
+    device_lock = threading.Lock()
+    served = 0
+    served_lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            nonlocal served
+            for raw in self.rfile:
+                line = raw.decode("utf-8", "replace").strip()
+                if not line:
+                    continue
+                with device_lock:
+                    result = handle_line(
+                        line, runner, embedder, output_dir,
+                        default_mask_prob,
+                    )
+                self.wfile.write((json.dumps(result) + "\n").encode())
+                self.wfile.flush()
+                with served_lock:
+                    served += 1
+                    if max_requests is not None and served >= max_requests:
+                        threading.Thread(
+                            target=server.shutdown, daemon=True
+                        ).start()
+                        return
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with Server((host, port), Handler) as server:
+        bound = server.server_address[1]
+        print(f"[serve] listening on {host}:{bound}", file=sys.stderr,
+              flush=True)
+        if ready_cb is not None:
+            ready_cb(bound)
+        server.serve_forever(poll_interval=0.05)
+
+
 def main(argv=None):
     from .common import add_esm_args, add_sampler_args
 
@@ -147,6 +217,11 @@ def main(argv=None):
                         help="comma-separated bucket sizes to precompile "
                              "at startup (e.g. 192,256) so first requests "
                              "skip the 150-300 s remote compile")
+    parser.add_argument("--port", type=int, default=None,
+                        help="serve JSONL over TCP on this port instead "
+                             "of stdin/stdout (concurrent clients; device "
+                             "work serialized)")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
     args = parser.parse_args(argv)
 
     from ..models.prdiff import ProteinReDiffModel
@@ -188,6 +263,13 @@ def main(argv=None):
             cfg.esm_dim,
         )
 
+    if args.port is not None:
+        serve_tcp(
+            args.port, runner, embedder, args.output_dir, args.mask_prob,
+            host=args.host,
+        )
+        return
+
     in_f = open(args.input) if args.input else sys.stdin
     out_f = open(args.output, "w") if args.output else sys.stdout
     try:
@@ -195,20 +277,9 @@ def main(argv=None):
             line = line.strip()
             if not line:
                 continue
-            req = None
-            try:
-                req = json.loads(line)
-                result = handle_request(
-                    req, runner, embedder, args.output_dir, args.mask_prob
-                )
-            except Exception as e:  # keep serving on bad requests
-                req_id = (
-                    req.get("id", "?") if isinstance(req, dict) else "?"
-                )
-                result = {
-                    "id": str(req_id),
-                    "error": f"{type(e).__name__}: {e}",
-                }
+            result = handle_line(
+                line, runner, embedder, args.output_dir, args.mask_prob
+            )
             out_f.write(json.dumps(result) + "\n")
             out_f.flush()
     finally:

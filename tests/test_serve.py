@@ -104,3 +104,54 @@ def test_serve_ddim_parallel_sampler(tiny_ckpt, tmp_path):  # noqa: F811
     ])
     (resp,) = [json.loads(l) for l in out.read_text().splitlines()]
     assert resp["id"] == "p" and len(resp["sequences"]) == 1
+
+
+def test_serve_tcp_mode(tiny_ckpt, tmp_path):  # noqa: F811
+    """JSONL-over-TCP: two requests (one bad) over a live socket."""
+    import queue
+    import socket
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.cli.serve import serve_tcp
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+    from protein_redesign_tpu.utils.esm import ESMEmbedder
+
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = {
+        k: jnp.asarray(v) for k, v in _make_batch(4, 8, 16, esm_dim=16).items()
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    runner = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5)
+    embedder = ESMEmbedder(esm_dim=16)
+
+    port_q = queue.Queue()
+    t = threading.Thread(
+        target=serve_tcp,
+        args=(0, runner, embedder, tmp_path / "srv", 0.5),
+        kwargs={"max_requests": 2, "ready_cb": port_q.put},
+        daemon=True,
+    )
+    t.start()
+    port = port_q.get(timeout=60)
+
+    with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+        f = s.makefile("rw")
+        f.write(json.dumps({
+            "id": "t1", "protein": "ACDEFGHI", "ligand": "CC",
+            "num_samples": 1, "seed": 0,
+        }) + "\n")
+        f.flush()
+        r1 = json.loads(f.readline())
+        f.write('{"id": "oops", not json\n')
+        f.flush()
+        r2 = json.loads(f.readline())
+    t.join(timeout=60)
+    assert not t.is_alive()  # max_requests shut the server down
+    assert r1["id"] == "t1" and len(r1["sequences"]) == 1
+    assert open(r1["pdb_files"][0]).read().startswith("ATOM")
+    assert "error" in r2  # unparseable line -> error result, id unknown
