@@ -311,7 +311,9 @@ class SamplingRunner:
         self,
         model: ProteinReDiffModel,
         params,
-        buckets: Sequence[int] = (64, 128, 192, 256, 384, 512, 768, 1024),
+        buckets: Optional[Sequence[int]] = None,  # default: the full
+        #   DataConfig ladder, so the CLIs accept every rung the data
+        #   pipeline supports (incl. the 2048 long-context rung)
         batch_size: int = 1,
         mask_prob: Optional[float] = None,
         mesh=None,
@@ -322,6 +324,7 @@ class SamplingRunner:
         ptol: float = 1e-3,
         coarse_init: int = 0,
         segments: int = 0,
+        pad_to_batch: bool = False,
     ):
         """With ``mesh`` (a ('data','model') jax Mesh), the sample batch is
         sharded over the 'data' axis and params replicated — data-parallel
@@ -343,8 +346,17 @@ class SamplingRunner:
                 model.cfg.replace(pallas_auto_min_n=PALLAS_AUTO_MAX_N)
             )
         self.model = model
+        if buckets is None:
+            from ..config import DataConfig
+
+            buckets = DataConfig().buckets
         self.buckets = tuple(buckets)
         self.batch_size = batch_size
+        # pad_to_batch: repeat the last sample so EVERY group has exactly
+        # batch_size rows — one compiled program per bucket, ever. Worth
+        # the wasted remainder rows for long-lived servers where each new
+        # group shape costs a 150-300 s remote compile (cli/serve.py).
+        self.pad_to_batch = pad_to_batch
         self.mask_prob = (
             model.cfg.mask_prob if mask_prob is None else mask_prob
         )
@@ -531,6 +543,9 @@ class SamplingRunner:
         for start in range(0, len(order), self.batch_size):
             idxs = order[start: start + self.batch_size]
             group = [datas[i] for i in idxs]
+            if self.pad_to_batch:
+                while len(group) < self.batch_size:
+                    group.append(group[-1])
             if self.mesh is not None and self.sampler != "ddim_parallel":
                 # Keep the sharded batch axis full (repeat the last sample;
                 # the padded rows are dropped below — results index by idxs).

@@ -34,12 +34,20 @@ from operator import itemgetter
 from pathlib import Path
 
 
-def handle_request(req, runner, embedder, output_dir, default_mask_prob):
+def handle_request(req, runner, embedder, output_dir, default_mask_prob,
+                   device_lock=None):
     """One request through the PRE-COMPILED runner. The runner is built
     once at startup and reused — mask_prob is a traced argument of its
     jitted sampler, so varying it per request does not retrace (with
     150-300 s remote TPU compiles, a per-request retrace would make the
-    server unusable)."""
+    server unusable).
+
+    ``device_lock`` (TCP mode) guards only the device phase — ESM
+    embedding + sampling; the host-side post-processing (TMalign
+    subprocesses, PDB/SDF writes) runs outside it so concurrent clients
+    overlap their host work with each other's device work."""
+    import contextlib
+
     import jax
 
     from ..chem.mol import get_mol_positions, mol_to_sdf, update_mol_positions
@@ -60,15 +68,17 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob):
 
     protein = load_protein_arg(req["protein"])
     ligand = parse_ligand_arg(req["ligand"])
-    data = {
-        **ligand_to_data(ligand),
-        **protein_to_data(
-            protein, residue_esm=embedder.embed_protein(protein)
-        ),
-    }
-    results = runner.run(
-        [data] * num_samples, jax.random.PRNGKey(seed), mask_prob=mask_prob
-    )
+    with device_lock or contextlib.nullcontext():
+        data = {
+            **ligand_to_data(ligand),
+            **protein_to_data(
+                protein, residue_esm=embedder.embed_protein(protein)
+            ),
+        }
+        results = runner.run(
+            [data] * num_samples, jax.random.PRNGKey(seed),
+            mask_prob=mask_prob,
+        )
 
     req_dir = Path(output_dir) / req_id
     req_dir.mkdir(parents=True, exist_ok=True)
@@ -108,7 +118,10 @@ def warmup_runner(runner, buckets, esm_dim) -> None:
     """Precompile the sampler for each listed bucket by pushing one
     synthetic complex through the runner. First-request latency then
     excludes compilation (150-300 s per bucket on remote-compile TPU
-    setups); subsequent requests at those buckets are pure compute."""
+    setups); subsequent requests at those buckets are pure compute.
+    The serve runner pads every group to its full batch_size
+    (pad_to_batch), so the one shape warmed here is the ONLY shape the
+    bucket ever runs."""
     import jax
     import numpy as np
 
@@ -116,6 +129,14 @@ def warmup_runner(runner, buckets, esm_dim) -> None:
     from ..chem.protein import protein_from_sequence
     from ..data.featurize import ligand_to_data, protein_to_data
 
+    bad = [b for b in buckets if b not in runner.buckets]
+    if bad:
+        raise SystemExit(
+            f"--warmup_buckets {bad} are not ladder rungs; pick from "
+            f"{list(runner.buckets)} (requests are padded UP to the "
+            f"nearest rung, so warming an off-rung size would compile a "
+            f"shape no request uses)"
+        )
     mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
     for bucket in buckets:
         prot = protein_from_sequence("A" * (bucket - 2))
@@ -130,14 +151,16 @@ def warmup_runner(runner, buckets, esm_dim) -> None:
         print("[serve] warmup done", file=sys.stderr, flush=True)
 
 
-def handle_line(line, runner, embedder, output_dir, default_mask_prob):
+def handle_line(line, runner, embedder, output_dir, default_mask_prob,
+                device_lock=None):
     """One JSONL request line -> one result dict; never raises (bad
     requests become {"id", "error"} results so the server keeps going)."""
     req = None
     try:
         req = json.loads(line)
         return handle_request(
-            req, runner, embedder, output_dir, default_mask_prob
+            req, runner, embedder, output_dir, default_mask_prob,
+            device_lock=device_lock,
         )
     except Exception as e:
         req_id = req.get("id", "?") if isinstance(req, dict) else "?"
@@ -148,11 +171,13 @@ def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
               host="127.0.0.1", max_requests=None, ready_cb=None):
     """JSONL-over-TCP server: each client connection streams request
     lines and receives one JSON result line per request. Concurrent
-    connections are accepted (threaded); device work serializes behind a
-    lock — the single sampler program is the throughput unit, and at
-    these O(N^3)-dense shapes per-request batching is already optimal
-    (BASELINE.md batch study), so fairness-by-request beats batching
-    across clients. ``max_requests``/``ready_cb`` exist for tests."""
+    connections are accepted (threaded); device work (ESM embed +
+    sampling) serializes behind a lock while host post-processing
+    (TMalign, file writes) overlaps — the single sampler program is the
+    throughput unit, and at these O(N^3)-dense shapes per-request
+    batching is already optimal (BASELINE.md batch study), so
+    fairness-by-request beats batching across clients.
+    ``max_requests``/``ready_cb`` exist for tests."""
     import socketserver
     import threading
 
@@ -167,11 +192,10 @@ def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
                 line = raw.decode("utf-8", "replace").strip()
                 if not line:
                     continue
-                with device_lock:
-                    result = handle_line(
-                        line, runner, embedder, output_dir,
-                        default_mask_prob,
-                    )
+                result = handle_line(
+                    line, runner, embedder, output_dir,
+                    default_mask_prob, device_lock=device_lock,
+                )
                 self.wfile.write((json.dumps(result) + "\n").encode())
                 self.wfile.flush()
                 with served_lock:
@@ -254,6 +278,9 @@ def main(argv=None):
         model, params, batch_size=args.batch_size,
         mask_prob=args.mask_prob,
         mesh=make_inference_mesh(args.num_devices),
+        # One compiled program per bucket, ever: remainder groups are
+        # padded to batch_size rather than compiling a second shape.
+        pad_to_batch=True,
         **runner_sampler_kwargs(args),
     )
     if args.warmup_buckets:

@@ -83,6 +83,14 @@ class ModelConfig:
     #                                  (ops/pallas_outer.py; never
     #                                  materializes the [N,N,2*single_dim]
     #                                  concat features)
+    use_pallas_fused_gated: bool = False  # when the attention kernel path
+    #                                  is selected (use_pallas / auto plan),
+    #                                  run the FULLY-fused gated row
+    #                                  attention (LN + projections + softmax
+    #                                  + gating + out-projection in one
+    #                                  kernel) instead of the measured rows
+    #                                  kernel. Opt-in until measured on
+    #                                  real hardware end-to-end.
     sequence_parallel: bool = False  # shard the pair tensor's first complex
     #                                  axis over the mesh 'model' axis inside
     #                                  the Denoiser (GSPMD inserts the
@@ -178,8 +186,10 @@ class DataConfig:
     # kernel for inference at 768, query-chunked attention at 1024 and
     # for long-context training) — unchunked triangle-attention logits
     # alone are ~3.6/8.6 GB bf16 there and do not compile at 1024. The
-    # 2048 rung runs the K-chunked online-softmax rows kernel
-    # (VMEM O(N*KCHUNK)) when the kernel path is selected.
+    # 2048 rung falls back to query-chunked XLA under the auto plan (the
+    # plan's kernel branch caps at n < 2048); an explicit --use_pallas
+    # engages the K-chunked online-softmax rows kernel (VMEM
+    # O(N*KCHUNK)) there instead.
 
     def resolved_cache_dir(self) -> str:
         if self.cache_dir is not None:

@@ -49,6 +49,7 @@ class TriangleAttention(nn.Module):
     num_heads: int
     mode: str  # "starting" | "ending"
     use_pallas: bool = False
+    fused_gated: bool = False
     fast_softmax: bool = False
     attn_chunk: int = 0
     dtype: Dtype = jnp.float32
@@ -63,6 +64,7 @@ class TriangleAttention(nn.Module):
             mask_2d = jnp.swapaxes(mask_2d, -1, -2)
         out = GatedAttention(
             self.head_dim, self.num_heads, use_pallas=self.use_pallas,
+            fused_gated=self.fused_gated,
             fast_softmax=self.fast_softmax, attn_chunk=self.attn_chunk,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(pair, mask_2d)
@@ -303,6 +305,7 @@ class FoldingBlock(nn.Module):
     use_pallas_trimul: bool = False
     use_pallas_transition: bool = False
     use_pallas_outer: bool = False
+    use_pallas_fused_gated: bool = False
     attn_chunk: int = 0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -346,13 +349,17 @@ class FoldingBlock(nn.Module):
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "starting",
-            use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            use_pallas=self.use_pallas,
+            fused_gated=self.use_pallas_fused_gated,
+            fast_softmax=self.fast_softmax,
             attn_chunk=self.attn_chunk,
             name="pair_attn_starting", **kw,
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "ending",
-            use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            use_pallas=self.use_pallas,
+            fused_gated=self.use_pallas_fused_gated,
+            fast_softmax=self.fast_softmax,
             attn_chunk=self.attn_chunk,
             name="pair_attn_ending", **kw,
         )(pair, mask_2d)
@@ -465,6 +472,10 @@ class Denoiser(nn.Module):
         use_pallas, attn_chunk = resolve_attention_plan(
             cfg, single.shape[-2]
         )
+        # GSPMD cannot repartition a pallas_call, so every fused kernel is
+        # disabled when the complex axis is sharded (sequence parallelism) —
+        # same reason resolve_attention_plan excludes it for attention.
+        fused_ok = not cfg.sequence_parallel
 
         pair = pair + mask_2d[..., None] * OuterProductUpdate(
             cfg.pair_dim, cfg.single_dim // 4, name="opm", **kw
@@ -489,9 +500,12 @@ class Denoiser(nn.Module):
                 cfg.transition_factor,
                 use_pallas,
                 cfg.fast_softmax,
-                use_pallas_trimul=cfg.use_pallas_trimul,
-                use_pallas_transition=cfg.use_pallas_transition,
-                use_pallas_outer=cfg.use_pallas_outer,
+                use_pallas_trimul=cfg.use_pallas_trimul and fused_ok,
+                use_pallas_transition=cfg.use_pallas_transition and fused_ok,
+                use_pallas_outer=cfg.use_pallas_outer and fused_ok,
+                use_pallas_fused_gated=(
+                    cfg.use_pallas_fused_gated and fused_ok
+                ),
                 attn_chunk=attn_chunk,
                 name=f"folding_blocks_{i}",
                 **kw,

@@ -333,6 +333,10 @@ class GatedAttention(nn.Module):
     head_dim: int
     num_heads: int
     use_pallas: bool = False
+    fused_gated: bool = False  # use_pallas variant: ONE kernel for
+    #                            LN+projections+softmax+gating+out-proj
+    #                            (opt-in until measured end-to-end;
+    #                            cfg.use_pallas_fused_gated)
     fast_softmax: bool = False
     attn_chunk: int = 0
     dtype: Dtype = jnp.float32
@@ -347,7 +351,12 @@ class GatedAttention(nn.Module):
     ) -> jnp.ndarray:
         H, C = self.num_heads, self.head_dim
         D = x.shape[-1]
-        if self.use_pallas and attn_bias is None and mask is not None:
+        if (
+            self.use_pallas
+            and self.fused_gated
+            and attn_bias is None
+            and mask is not None
+        ):
             from ..ops.pallas_attention import (
                 ROWS_KCHUNK_MIN_N,
                 fused_gated_rows_attention,

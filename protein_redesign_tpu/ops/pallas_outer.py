@@ -16,8 +16,11 @@ tile; the [N, 2D] product features exist only in VMEM one row at a
 time. HBM traffic collapses from ~2 passes over [N, N, 2D] to one
 output write.
 
+Explicit opt-in via `ModelConfig.use_pallas_outer` (default off until
+measured end-to-end on real hardware); the Denoiser disables it under
+sequence parallelism (GSPMD cannot repartition a pallas_call).
 Gradients recompute via the pure-JAX reference (custom_vjp), like the
-repo's other fused kernels; the plan gates this to inference.
+repo's other fused kernels.
 """
 
 from __future__ import annotations

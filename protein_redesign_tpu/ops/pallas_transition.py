@@ -11,8 +11,10 @@ and one write of the output.
 Weights live in VMEM blocks (D=64 -> hidden=256 at paper scale: 48 KB
 bf16 total), re-fetched per grid step; negligible next to the x tile.
 
-Inference-only by plan (resolve_attention_plan gating at the module);
-gradients recompute via the pure-JAX reference (custom_vjp), matching
+Explicit opt-in via `ModelConfig.use_pallas_transition` (default off
+until measured end-to-end on real hardware); the Denoiser disables it
+under sequence parallelism (GSPMD cannot repartition a pallas_call).
+Gradients recompute via the pure-JAX reference (custom_vjp), matching
 the repo's other fused kernels.
 """
 

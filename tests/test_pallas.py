@@ -346,7 +346,9 @@ class TestFusedGatedAttentionModule:
         mask = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
         mask2d = mask[:, :, None] * mask[:, None, :]
         ref_mod = GatedAttention(8, 2, use_pallas=False, dtype=jnp.float32)
-        pal_mod = GatedAttention(8, 2, use_pallas=True, dtype=jnp.float32)
+        pal_mod = GatedAttention(
+            8, 2, use_pallas=True, fused_gated=True, dtype=jnp.float32
+        )
         params = ref_mod.init(jax.random.PRNGKey(0), x, mask2d)["params"]
         return ref_mod, pal_mod, params, x, mask2d
 
@@ -399,7 +401,9 @@ class TestFusedGatedAttentionModule:
         mask = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
         bias = jnp.asarray(rng.randn(B, H, N, N), jnp.float32)
         ref_mod = GatedAttention(8, H, use_pallas=False, dtype=jnp.float32)
-        pal_mod = GatedAttention(8, H, use_pallas=True, dtype=jnp.float32)
+        pal_mod = GatedAttention(
+            8, H, use_pallas=True, fused_gated=True, dtype=jnp.float32
+        )
         params = ref_mod.init(jax.random.PRNGKey(0), x, mask, bias)["params"]
         ref = ref_mod.apply({"params": params}, x, mask, attn_bias=bias)
         out = pal_mod.apply({"params": params}, x, mask, attn_bias=bias)

@@ -155,3 +155,72 @@ def test_serve_tcp_mode(tiny_ckpt, tmp_path):  # noqa: F811
     assert r1["id"] == "t1" and len(r1["sequences"]) == 1
     assert open(r1["pdb_files"][0]).read().startswith("ATOM")
     assert "error" in r2  # unparseable line -> error result, id unknown
+
+
+def _tiny_runner(**kw):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = {
+        k: jnp.asarray(v) for k, v in _make_batch(4, 8, 16, esm_dim=16).items()
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    return SamplingRunner(model, params, mask_prob=0.5, **kw)
+
+
+def test_warmup_rejects_off_rung_bucket():
+    """An off-rung --warmup_buckets value fails fast with a clear error
+    instead of silently compiling a shape no request will ever use (or
+    crashing inside pick_bucket for oversized values)."""
+    import pytest
+
+    from protein_redesign_tpu.cli.serve import warmup_runner
+
+    runner = _tiny_runner(buckets=(16,))
+    with pytest.raises(SystemExit, match="not ladder rungs"):
+        warmup_runner(runner, [12], esm_dim=16)
+    with pytest.raises(SystemExit, match="not ladder rungs"):
+        warmup_runner(runner, [2048], esm_dim=16)
+
+
+def test_default_ladder_matches_data_config():
+    """SamplingRunner's default ladder is DataConfig.buckets — every rung
+    the data pipeline supports (incl. 2048) is accepted by the CLIs."""
+    from protein_redesign_tpu.config import DataConfig
+
+    runner = _tiny_runner()
+    assert runner.buckets == DataConfig().buckets
+    assert 2048 in runner.buckets
+
+
+def test_pad_to_batch_compiles_one_shape():
+    """pad_to_batch (the serve runner mode): remainder groups are padded
+    to batch_size, so an odd num_samples or a later smaller request never
+    compiles a second program shape."""
+    import jax
+    import numpy as np
+
+    from protein_redesign_tpu.chem import (
+        mol_from_smiles,
+        protein_from_sequence,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+
+    runner = _tiny_runner(buckets=(16,), batch_size=2, pad_to_batch=True)
+    mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+    prot = protein_from_sequence("ACDEFGHI")
+    data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+
+    out = runner.run([data] * 3, jax.random.PRNGKey(0))  # groups 2 + pad(1->2)
+    assert len(out) == 3
+    assert all(np.isfinite(p).all() for p, _ in out)
+    traced = runner.trace_count
+    out2 = runner.run([data], jax.random.PRNGKey(1))  # group 1 -> padded to 2
+    assert np.isfinite(out2[0][0]).all()
+    assert runner.trace_count == traced  # no second shape compiled
