@@ -243,7 +243,7 @@ def add_sampler_args(parser) -> None:
                              "Usually unnecessary: the auto attention "
                              "plan handles the 768/1024 buckets")
     parser.add_argument("--sample_segments", type=int, default=0,
-                        help="split the DDPM sampler's T steps into this "
+                        help="split the DDPM/DDIM sampler's steps into this "
                              "many host-chained device dispatches (bit-"
                              "identical results; bounds single-execution "
                              "runtime). 0 = auto: split so each "
@@ -362,6 +362,7 @@ class SamplingRunner:
         )
         self.mesh = mesh
         self.sampler = sampler
+        self.ddim_steps = ddim_steps
         if sampler not in ("ddpm", "ddim", "ddim_parallel"):
             raise ValueError(f"Unknown sampler: {sampler}")
         if sampler == "ddim_parallel" and eta != 0.0:
@@ -404,38 +405,47 @@ class SamplingRunner:
         # minutes of TPU compile time each.
         self.trace_count = 0  # incremented only when jax re-traces
 
-        # Segmented DDPM sampling: host-chain S equal slices of the
-        # (timestep, key) streams through ONE compiled segment program —
-        # bit-identical to a single scan (a scan over concatenated slices
-        # IS one scan), but each device dispatch runs T/S steps. Needed
-        # on tunneled-TPU platforms whose worker crashes on single
+        # Segmented DDPM/DDIM sampling: host-chain S equal slices of the
+        # step streams (timestep+key, or tau+tau_prev+key for DDIM)
+        # through ONE compiled segment program — bit-identical to a
+        # single scan (a scan over concatenated slices IS one scan), but
+        # each device dispatch runs steps/S of the work. Needed on
+        # tunneled-TPU platforms whose worker crashes on single
         # executions past ~1 min (BASELINE.md long-context caveat).
         # segments=0 (default) resolves PER GROUP at run time from a
         # conservative runtime estimate (_segments_for).
         self.segments = segments
-        if segments > 1 and sampler != "ddpm":
+        if segments > 1 and sampler == "ddim_parallel":
             raise ValueError(
-                "--sample_segments applies to the ddpm sampler (the "
-                "long-program case); ddim/ddim_parallel dispatches "
-                "are already short"
+                "--sample_segments applies to the ddpm/ddim samplers; "
+                "ddim_parallel already bounds its dispatches by the "
+                "Picard window"
             )
-        if segments > 1 and model.cfg.num_steps % segments:
+        seg_T = model.cfg.num_steps if sampler == "ddpm" else ddim_steps
+        if segments > 1 and seg_T % segments:
             raise ValueError(
-                f"num_steps ({model.cfg.num_steps}) must be divisible "
-                f"by --sample_segments ({segments})"
+                f"step count ({seg_T}) must be divisible by "
+                f"--sample_segments ({segments})"
             )
-        if sampler == "ddpm":
+        if sampler in ("ddpm", "ddim"):
             def _init(p, b, k, mp):
                 self.trace_count += 1
                 return model.sample_init(p, b, k, mask_prob=mp)
 
-            def _seg(p, b, carry, ts, keys):
-                self.trace_count += 1
-                return model.sample_segment(p, b, carry, ts, keys)
-
             def _fin(b, carry):
                 self.trace_count += 1
                 return model.sample_finish(b, carry)
+
+            if sampler == "ddpm":
+                def _seg(p, b, carry, ts, keys):
+                    self.trace_count += 1
+                    return model.sample_segment(p, b, carry, ts, keys)
+            else:
+                def _seg(p, b, carry, taus, taus_prev, keys):
+                    self.trace_count += 1
+                    return model.sample_ddim_segment(
+                        p, b, carry, taus, taus_prev, keys, eta=eta
+                    )
 
             self._jit_init = jax.jit(_init)
             self._jit_seg = jax.jit(_seg)
@@ -473,9 +483,13 @@ class SamplingRunner:
         B=8 bucket 192 (~97 s) — BASELINE.md."""
         if self.segments >= 1:
             return self.segments
-        if self.sampler != "ddpm":
+        if self.sampler == "ddim_parallel":
             return 1
-        T = self.model.cfg.num_steps
+        T = (
+            self.model.cfg.num_steps
+            if self.sampler == "ddpm"
+            else self.ddim_steps
+        )
         est_step_ms = (
             SEGMENT_REF_STEP_MS
             * max(batch_rows, 1)
@@ -494,17 +508,25 @@ class SamplingRunner:
         if S <= 1:
             return self._jit(p, b, k, mp)
         model = self.model
-        T = model.cfg.num_steps
-        seg_len = T // S
         prepared, carry = self._jit_init(p, b, k, mp)
         k_scan = jax.random.split(k, 4)[3]
-        ts = jnp.arange(T - 1, -1, -1)
-        keys = jax.random.split(k_scan, T)
+        if self.sampler == "ddim":
+            from ..models.prdiff import ddim_tau_grid
+
+            T = self.ddim_steps
+            taus, taus_prev = ddim_tau_grid(model.cfg.num_steps, T)
+            streams = (taus, taus_prev, jax.random.split(k_scan, T))
+        else:
+            T = model.cfg.num_steps
+            streams = (
+                jnp.arange(T - 1, -1, -1), jax.random.split(k_scan, T)
+            )
+        seg_len = T // S
         for s in range(S):
             lo = s * seg_len
             carry = self._jit_seg(
                 p, prepared, carry,
-                ts[lo:lo + seg_len], keys[lo:lo + seg_len],
+                *(arr[lo:lo + seg_len] for arr in streams),
             )
         return self._jit_fin(prepared, carry)
 

@@ -197,6 +197,27 @@ class ProteinReDiffNet(nn.Module):
         return noise_pred, seq_pred
 
 
+def ddim_tau_grid(
+    num_steps: int, ddim_steps: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Descending DDIM timestep subsequence tau_0 > ... > tau_{S-1}=0 and
+    its shifted-prev companion (-1 sentinel at the end = x0 endpoint,
+    alpha_bar_prev 1). Computed host-side in f64 so the grid is EXACTLY
+    the one the parallel-in-time sampler uses (models/paratime.py derives
+    the same numpy expression; an f32 jnp.linspace rounds differently at
+    some (T, S)). Shared by sample_ddim and SamplingRunner's segmented
+    DDIM path."""
+    import numpy as _np
+
+    taus = jnp.asarray(
+        _np.round(_np.linspace(num_steps - 1, 0, ddim_steps)).astype(
+            _np.int32
+        )
+    )
+    taus_prev = jnp.concatenate([taus[1:], jnp.array([-1])])
+    return taus, taus_prev
+
+
 @dataclasses.dataclass(frozen=True)
 class ProteinReDiffModel:
     """Facade bundling config, net, and schedule into pure functions."""
@@ -848,42 +869,55 @@ class ProteinReDiffModel:
                 f"seq_reverse must be 'reference' or 'ancestral', "
                 f"got {cfg.seq_reverse!r}"
             )
-        sched = self.schedule
-        T = cfg.num_steps
-        k_prep, k_z, k_seq, k_scan = jax.random.split(key, 4)
-        batch = self.prepare_batch(
-            batch, k_prep, training=False, mask_prob=mask_prob
+        # Composed from the segmented API parts (sample_ddim_init /
+        # sample_ddim_segment / sample_finish) so the one-shot and
+        # host-segmented paths are bit-identical BY CONSTRUCTION, exactly
+        # like the DDPM sample() above.
+        batch, carry = self.sample_init(params, batch, key, mask_prob)
+        k_scan = jax.random.split(key, 4)[3]
+        taus, taus_prev = ddim_tau_grid(cfg.num_steps, ddim_steps)
+        keys = jax.random.split(k_scan, ddim_steps)
+        carry = self.sample_ddim_segment(
+            params, batch, carry, taus, taus_prev, keys, eta=eta
         )
+        return self.sample_finish(batch, carry)
+
+    def sample_ddim_segment(
+        self,
+        params: Any,
+        batch: Batch,
+        carry: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        taus: jnp.ndarray,
+        taus_prev: jnp.ndarray,
+        keys: jnp.ndarray,
+        eta: float = 0.0,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Segmented-sampling part 2/3 for the DDIM sampler: scan the DDIM
+        step over a contiguous descending slice of the (tau, tau_prev, key)
+        streams. Shares sample_init/sample_finish with the DDPM path (the
+        carry layouts are identical), so SamplingRunner(segments=S,
+        sampler='ddim') host-chains S slices of the tau grid through one
+        compiled program — bounding each device dispatch, which is what
+        makes DDIM at the 2048 rung servable on tunneled-TPU setups whose
+        worker crashes on single executions past ~1 min (BASELINE.md)."""
+        if self.cfg.seq_process == "absorbing":
+            step = self._ddim_absorbing_step_fn(params, batch, eta)
+        else:
+            step = self._ddim_gaussian_step_fn(params, batch, eta)
+        carry, _ = jax.lax.scan(step, carry, (taus, taus_prev, keys))
+        return carry
+
+    def _ddim_gaussian_step_fn(self, params: Any, batch: Batch, eta: float):
+        """DDIM step closure for the Gaussian sequence channel, shared by
+        sample_ddim() and the segmented API."""
+        cfg = self.cfg
+        sched = self.schedule
         x = batch["x"]
         mask = batch["residue_and_atom_mask"]
-        residue_mask = batch["residue_mask"]
         seq = batch["residue_one_hot"]
         extra = batch["residue_extra_mask"][..., None]
         inv = batch["residue_inv_extra_mask"][..., None]
         B = x.shape[0]
-
-        z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
-
-        # Descending timestep subsequence tau_0 > tau_1 > ... > tau_{S-1}=0,
-        # with alpha_bar_prev at the final step = 1 (x0 endpoint). Computed
-        # host-side in f64 so the grid is EXACTLY the one the parallel-in-
-        # time sampler uses (models/paratime.py derives the same numpy
-        # expression; an f32 jnp.linspace rounds differently at some (T, S)).
-        import numpy as _np
-
-        taus = jnp.asarray(
-            _np.round(_np.linspace(T - 1, 0, ddim_steps)).astype(_np.int32)
-        )
-        taus_prev = jnp.concatenate([taus[1:], jnp.array([-1])])
-
-        if cfg.seq_process == "absorbing":
-            return self._sample_ddim_absorbing(
-                params, batch, z0, k_scan, taus, taus_prev, eta
-            )
-        s0 = remove_mean(
-            jax.random.normal(k_seq, seq.shape, seq.dtype), residue_mask
-        )
-        s0 = extra * seq + inv * s0
 
         def step(carry, inp):
             z_t, seq_t, _ = carry
@@ -914,13 +948,7 @@ class ProteinReDiffModel:
                 seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
             return (z_next, seq_next, seq_pred), None
 
-        keys = jax.random.split(k_scan, ddim_steps)
-        seq_pred0 = jnp.zeros_like(s0)
-        (z_final, _, seq_pred_last), _ = jax.lax.scan(
-            step, (z0, s0, seq_pred0), (taus, taus_prev, keys)
-        )
-        pos = nanometre_to_angstrom(z_final)
-        return pos, residue_mask[..., None] * seq_pred_last
+        return step
 
     def _ddim_coord_update(
         self,
@@ -956,17 +984,8 @@ class ProteinReDiffModel:
             + sigma * noise
         )
 
-    def _sample_ddim_absorbing(
-        self,
-        params: Any,
-        batch: Batch,
-        z0: jnp.ndarray,
-        k_scan: jax.Array,
-        taus: jnp.ndarray,
-        taus_prev: jnp.ndarray,
-        eta: float,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Absorbing-mode DDIM sampler body: the coordinate channel runs
+    def _ddim_absorbing_step_fn(self, params: Any, batch: Batch, eta: float):
+        """Absorbing-mode DDIM step closure: the coordinate channel runs
         the DDIM update over the ``taus`` subsequence while unknown
         residues are revealed by the same sticky confidence-ranked
         commitment as the DDPM path (``_reveal_update``) — the commitment
@@ -976,17 +995,11 @@ class ProteinReDiffModel:
         commits every remaining position. This is the serving
         configuration for sequence design: 10-40x fewer denoiser evals
         (BASELINE.md sampler sweep) with the only weight-dependent
-        sequence channel (BASELINE.md absorbing tables)."""
-        cfg = self.cfg
-        if cfg.reveal_schedule not in ("linear", "cosine"):
-            raise ValueError(
-                f"reveal_schedule must be 'linear' or 'cosine', "
-                f"got {cfg.reveal_schedule!r}"
-            )
+        sequence channel (BASELINE.md absorbing tables). Shared by
+        sample_ddim() and the segmented API."""
         sched = self.schedule
         x = batch["x"]
         mask = batch["residue_and_atom_mask"]
-        residue_mask = batch["residue_mask"]
         seq, inv2 = self._absorbing_known_and_designable(batch)
         B = x.shape[0]
         n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
@@ -1018,12 +1031,4 @@ class ProteinReDiffModel:
             )
             return (z_next, comm_mask, comm_oh), None
 
-        keys = jax.random.split(k_scan, taus.shape[0])
-        comm0 = jnp.zeros_like(inv2)
-        oh0 = jnp.zeros_like(seq)
-        (z_final, comm_mask, comm_oh), _ = jax.lax.scan(
-            step, (z0, comm0, oh0), (taus, taus_prev, keys)
-        )
-        pos = nanometre_to_angstrom(z_final)
-        logits = residue_mask[..., None] * (seq + comm_oh)
-        return pos, logits
+        return step

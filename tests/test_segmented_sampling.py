@@ -78,6 +78,39 @@ def test_runner_segments_match():
     np.testing.assert_array_equal(out1[0][1], out4[0][1])
 
 
+@pytest.mark.parametrize("seq_process", ["gaussian", "absorbing"])
+def test_runner_ddim_segments_match(seq_process):
+    """Segmented DDIM == one-shot DDIM bit-identically through the runner
+    (the tau/tau_prev/key streams slice exactly like the DDPM streams;
+    both compose the same sample_init/sample_finish)."""
+    from protein_redesign_tpu.chem import (
+        mol_from_smiles,
+        protein_from_sequence,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+
+    model = ProteinReDiffModel(
+        TINY.replace(training_mode=False, seq_process=seq_process)
+    )
+    batch = _batch()
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+
+    mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+    prot = protein_from_sequence("ACDEFGHI")
+    data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+    key = jax.random.PRNGKey(3)
+    kw = dict(buckets=(16,), mask_prob=0.5, sampler="ddim", ddim_steps=6,
+              eta=0.3)
+    r1 = SamplingRunner(model, params, **kw)
+    r3 = SamplingRunner(model, params, segments=3, **kw)
+    out1 = r1.run([data], key)
+    out3 = r3.run([data], key)
+    np.testing.assert_array_equal(out1[0][0], out3[0][0])
+    np.testing.assert_array_equal(out1[0][1], out3[0][1])
+
+
 def test_runner_segment_validation():
     from protein_redesign_tpu.cli.common import SamplingRunner
 
@@ -86,8 +119,11 @@ def test_runner_segment_validation():
     params = model.init_params(jax.random.PRNGKey(0), batch)
     with pytest.raises(ValueError, match="divisible"):
         SamplingRunner(model, params, segments=3)
-    with pytest.raises(ValueError, match="ddpm"):
-        SamplingRunner(model, params, sampler="ddim", segments=2)
+    with pytest.raises(ValueError, match="divisible"):
+        SamplingRunner(model, params, sampler="ddim", ddim_steps=5,
+                       segments=2)
+    with pytest.raises(ValueError, match="ddim_parallel"):
+        SamplingRunner(model, params, sampler="ddim_parallel", segments=2)
 
 
 def test_auto_segments_policy():
@@ -114,8 +150,12 @@ def test_auto_segments_policy():
         assert est <= 30_000.0 or S == 1000
     r.segments = 4                        # explicit wins
     assert r._segments_for(1024, 1) == 4
-    r.segments, r.sampler = 0, "ddim"     # short-program samplers: never
-    assert r._segments_for(1024, 1) == 1
+    r.segments, r.sampler = 0, "ddim"     # DDIM segments over ddim_steps
+    r.ddim_steps = 50
+    assert r._segments_for(256, 1) == 1   # 50 short steps: one program
+    assert r._segments_for(2048, 1) > 1   # DDIM-50 at 2048 (~2 min est)
+    r.sampler = "ddim_parallel"           # already window-bounded: never
+    assert r._segments_for(2048, 1) == 1
     r.sampler = "ddpm"
     r.model = ProteinReDiffModel(TINY)    # T=8: fits any budget
     r.segments = 0
