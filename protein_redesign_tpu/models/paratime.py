@@ -115,8 +115,9 @@ def sample_ddim_parallel(
     # under jit (the jnp schedule pytree becomes a tracer there). The f32
     # round-trip matches `sched.alphas_cumprod`'s stored values exactly.
     from .diffusion import get_betas
+    from .prdiff import ddim_taus_np
 
-    taus_np = np.round(np.linspace(T - 1, 0, S)).astype(np.int32)   # [S]
+    taus_np = ddim_taus_np(T, S)                                    # [S]
     taus = jnp.asarray(taus_np)
 
     acp_np = np.cumprod(1.0 - get_betas(T, cfg.diffusion_schedule)).astype(

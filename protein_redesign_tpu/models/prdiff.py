@@ -197,23 +197,26 @@ class ProteinReDiffNet(nn.Module):
         return noise_pred, seq_pred
 
 
+def ddim_taus_np(num_steps: int, ddim_steps: int):
+    """Descending DDIM timestep subsequence tau_0 > ... > tau_{S-1}=0 as a
+    host-side numpy int32 array. Computed in f64 so every DDIM-family
+    sampler (sample_ddim, the segmented runner path, and the
+    parallel-in-time sampler in models/paratime.py) walks EXACTLY the
+    same grid — an f32 jnp.linspace rounds differently at some (T, S)."""
+    import numpy as _np
+
+    return _np.round(
+        _np.linspace(num_steps - 1, 0, ddim_steps)
+    ).astype(_np.int32)
+
+
 def ddim_tau_grid(
     num_steps: int, ddim_steps: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Descending DDIM timestep subsequence tau_0 > ... > tau_{S-1}=0 and
-    its shifted-prev companion (-1 sentinel at the end = x0 endpoint,
-    alpha_bar_prev 1). Computed host-side in f64 so the grid is EXACTLY
-    the one the parallel-in-time sampler uses (models/paratime.py derives
-    the same numpy expression; an f32 jnp.linspace rounds differently at
-    some (T, S)). Shared by sample_ddim and SamplingRunner's segmented
-    DDIM path."""
-    import numpy as _np
-
-    taus = jnp.asarray(
-        _np.round(_np.linspace(num_steps - 1, 0, ddim_steps)).astype(
-            _np.int32
-        )
-    )
+    """The tau grid plus its shifted-prev companion (-1 sentinel at the
+    end = x0 endpoint, alpha_bar_prev 1). Shared by sample_ddim and
+    SamplingRunner's segmented DDIM path."""
+    taus = jnp.asarray(ddim_taus_np(num_steps, ddim_steps))
     taus_prev = jnp.concatenate([taus[1:], jnp.array([-1])])
     return taus, taus_prev
 
