@@ -33,7 +33,7 @@ from ..chem.protein import (
 from ..chem.smiles import strip_cxsmiles
 from ..data.collate import collate_fn, numeric_batch, pick_bucket
 from ..data.wire import compress_batch
-from ..models.prdiff import ProteinReDiffModel
+from ..models.prdiff import ProteinReDiffModel, ddim_tau_grid
 
 RESIDUE_TYPES_NEW = ["X"] + RESIDUE_TYPES
 
@@ -511,8 +511,6 @@ class SamplingRunner:
         prepared, carry = self._jit_init(p, b, k, mp)
         k_scan = jax.random.split(k, 4)[3]
         if self.sampler == "ddim":
-            from ..models.prdiff import ddim_tau_grid
-
             T = self.ddim_steps
             taus, taus_prev = ddim_tau_grid(model.cfg.num_steps, T)
             streams = (taus, taus_prev, jax.random.split(k_scan, T))

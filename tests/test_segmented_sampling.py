@@ -122,7 +122,7 @@ def test_runner_segment_validation():
     with pytest.raises(ValueError, match="divisible"):
         SamplingRunner(model, params, sampler="ddim", ddim_steps=5,
                        segments=2)
-    with pytest.raises(ValueError, match="ddim_parallel"):
+    with pytest.raises(ValueError, match="Picard window"):
         SamplingRunner(model, params, sampler="ddim_parallel", segments=2)
 
 
