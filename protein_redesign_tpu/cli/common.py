@@ -34,6 +34,7 @@ from ..chem.smiles import strip_cxsmiles
 from ..data.collate import collate_fn, numeric_batch, pick_bucket
 from ..data.wire import compress_batch
 from ..models.prdiff import ProteinReDiffModel, ddim_tau_grid
+from ..ops import nanometre_to_angstrom
 
 RESIDUE_TYPES_NEW = ["X"] + RESIDUE_TYPES
 
@@ -503,30 +504,62 @@ class SamplingRunner:
                 return d
         return T
 
-    def _sample_group(self, p, b, k, mp, bucket: int):
+    def _sample_group(self, p, b, k, mp, bucket: int, traj_frames: int = 0):
         S = self._segments_for(bucket, b["residue_mask"].shape[0])
-        if S <= 1:
+        T = (
+            self.model.cfg.num_steps
+            if self.sampler == "ddpm"
+            else self.ddim_steps
+        )
+        if traj_frames:
+            # Frames ride the segment boundaries (a host fetch of the
+            # carry between dispatches — zero change to any compiled
+            # program, so the final sample is bit-identical with or
+            # without trajectory capture). Force S to a multiple of
+            # traj_frames that still divides the step count, at least as
+            # fine as the auto dispatch bound.
+            if self.sampler not in ("ddpm", "ddim"):
+                raise ValueError(
+                    "trajectory capture rides the segmented ddpm/ddim "
+                    "samplers; ddim_parallel refines all steps jointly "
+                    "and has no sequential intermediate states"
+                )
+            if T % traj_frames:
+                raise ValueError(
+                    f"trajectory frames ({traj_frames}) must divide the "
+                    f"sampler's step count ({T})"
+                )
+            S = next(
+                c for c in range(max(S, traj_frames), T + 1)
+                if c % traj_frames == 0 and T % c == 0
+            )
+        if S <= 1 and not traj_frames:
             return self._jit(p, b, k, mp)
         model = self.model
         prepared, carry = self._jit_init(p, b, k, mp)
         k_scan = jax.random.split(k, 4)[3]
         if self.sampler == "ddim":
-            T = self.ddim_steps
             taus, taus_prev = ddim_tau_grid(model.cfg.num_steps, T)
             streams = (taus, taus_prev, jax.random.split(k_scan, T))
         else:
-            T = model.cfg.num_steps
             streams = (
                 jnp.arange(T - 1, -1, -1), jax.random.split(k_scan, T)
             )
         seg_len = T // S
+        frames = []
         for s in range(S):
             lo = s * seg_len
             carry = self._jit_seg(
                 p, prepared, carry,
                 *(arr[lo:lo + seg_len] for arr in streams),
             )
-        return self._jit_fin(prepared, carry)
+            if traj_frames and (s + 1) % (S // traj_frames) == 0:
+                # carry[0] is the coordinate state (nm) for every sampler.
+                frames.append(np.asarray(nanometre_to_angstrom(carry[0])))
+        out = self._jit_fin(prepared, carry)
+        if traj_frames:
+            return out, np.stack(frames, axis=0)  # [K, B, N, 3]
+        return out
 
     def _put_batch(self, batch):
         if self.mesh is None:
@@ -544,10 +577,16 @@ class SamplingRunner:
         datas: Sequence[Dict],
         key: jax.Array,
         mask_prob: Optional[float] = None,
-    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        trajectory: int = 0,
+    ) -> List[Tuple[np.ndarray, ...]]:
         """Returns per-input (positions [n,3] Angstrom, seq logits [n,21]),
         trimmed to each complex's true node count. ``mask_prob`` overrides
-        the runner default without recompiling (traced scalar)."""
+        the runner default without recompiling (traced scalar).
+        ``trajectory=K`` (ddpm/ddim) additionally captures K intermediate
+        coordinate frames at segment boundaries — each result becomes
+        (positions, seq logits, frames [K,n,3] Angstrom, last frame =
+        final pre-readout state); the final sample stays bit-identical
+        (frames are host fetches between the same compiled dispatches)."""
         mp = jnp.asarray(
             self.mask_prob if mask_prob is None else mask_prob, jnp.float32
         )
@@ -587,12 +626,15 @@ class SamplingRunner:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             batch = self._put_batch(batch)
             key, sub = jax.random.split(key)
-            pos, seq_logits = self._sample_group(
-                self.params, batch, sub, mp, bucket
+            out = self._sample_group(
+                self.params, batch, sub, mp, bucket, traj_frames=trajectory
             )
+            (pos, seq_logits), traj = out if trajectory else (out, None)
             pos = np.asarray(pos)
             seq_logits = np.asarray(seq_logits)
             for row, i in enumerate(idxs):
                 n = datas[i]["num_atoms"] + datas[i]["num_residues"]
-                results[i] = (pos[row, :n], seq_logits[row, :n])
+                results[i] = (pos[row, :n], seq_logits[row, :n]) + (
+                    (traj[:, row, :n],) if trajectory else ()
+                )
         return results  # type: ignore[return-value]

@@ -42,6 +42,15 @@ def main(argv=None):
     parser.add_argument("--fast_softmax", action="store_true",
                         help="bf16 attention probabilities (~1.5x sampling "
                              "speed at N=192; minor numeric deviation)")
+    parser.add_argument("--save_trajectory", type=int, default=0,
+                        metavar="K",
+                        help="additionally write sample_trajectory_<i>.pdb "
+                             "per sample: K intermediate denoising frames "
+                             "as a multi-model PDB (K must divide the "
+                             "sampler's step count; ddpm/ddim only). The "
+                             "samples themselves are bit-identical — "
+                             "frames are host fetches between the same "
+                             "compiled dispatches")
     args = parser.parse_args(argv)
 
     import jax
@@ -105,12 +114,28 @@ def main(argv=None):
         **runner_sampler_kwargs(args),
     )
     key = jax.random.PRNGKey(args.seed)
-    results = runner.run([data] * args.num_samples, key)
+    results = runner.run(
+        [data] * args.num_samples, key, trajectory=args.save_trajectory
+    )
 
     sample_proteins, sample_ligands, tmscores = [], [], []
     from operator import itemgetter
 
-    for pos, seq_prob in results:
+    for sample_idx, result in enumerate(results):
+        pos, seq_prob = result[0], result[1]
+        if args.save_trajectory:
+            # Un-aligned denoising movie (one MODEL per frame): the raw
+            # diffusion states share the sampler's zero-CoM frame, so they
+            # are directly comparable without the TM-align rigid fit
+            # applied to the final samples below.
+            frame_proteins = []
+            for frame in result[2]:
+                fp, _ = update_pos(protein, ligand, frame)
+                frame_proteins.append(update_seq(fp, seq_prob))
+            proteins_to_pdb_file(
+                frame_proteins,
+                args.output_dir / f"sample_trajectory_{sample_idx}.pdb",
+            )
         sample_protein, sample_ligand = update_pos(protein, ligand, pos)
         sample_protein = update_seq(sample_protein, seq_prob)
         if ref_protein is None:

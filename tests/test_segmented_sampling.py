@@ -111,6 +111,48 @@ def test_runner_ddim_segments_match(seq_process):
     np.testing.assert_array_equal(out1[0][1], out3[0][1])
 
 
+@pytest.mark.parametrize("sampler,kw", [
+    ("ddpm", {}), ("ddim", {"ddim_steps": 4}),
+])
+def test_runner_trajectory(sampler, kw):
+    """trajectory=K rides the segment boundaries: K frames per result,
+    last frame == the final positions (sample_finish applies the same
+    nm->Angstrom map to the same carry), and the sample itself is
+    bit-identical to a run without capture."""
+    from protein_redesign_tpu.chem import (
+        mol_from_smiles,
+        protein_from_sequence,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = _batch()
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+    prot = protein_from_sequence("ACDEFGHI")
+    data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+    key = jax.random.PRNGKey(3)
+
+    runner = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5,
+                            sampler=sampler, **kw)
+    plain = runner.run([data], key)
+    traj = runner.run([data], key, trajectory=4)
+    pos, logits, frames = traj[0]
+    assert frames.shape == (4,) + pos.shape
+    np.testing.assert_array_equal(frames[-1], pos)
+    np.testing.assert_array_equal(plain[0][0], pos)
+    np.testing.assert_array_equal(plain[0][1], logits)
+
+    with pytest.raises(ValueError, match="must divide"):
+        runner.run([data], key, trajectory=3)
+    rp = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5,
+                        sampler="ddim_parallel")
+    with pytest.raises(ValueError, match="intermediate states"):
+        rp.run([data], key, trajectory=2)
+
+
 def test_runner_segment_validation():
     from protein_redesign_tpu.cli.common import SamplingRunner
 
