@@ -65,6 +65,12 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
     num_samples = int(req.get("num_samples", 1))
     mask_prob = float(req.get("mask_prob", default_mask_prob))
     seed = int(req.get("seed", 0))
+    # Optional "trajectory": K — K intermediate denoising frames per
+    # sample, written as a K-model PDB movie. Frames are host fetches at
+    # segment boundaries of the SAME compiled dispatches, so enabling
+    # this never compiles a new program and the samples stay
+    # bit-identical (SamplingRunner.run).
+    trajectory = int(req.get("trajectory", 0))
 
     protein = load_protein_arg(req["protein"])
     ligand = parse_ligand_arg(req["ligand"])
@@ -77,16 +83,28 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
         }
         results = runner.run(
             [data] * num_samples, jax.random.PRNGKey(seed),
-            mask_prob=mask_prob,
+            mask_prob=mask_prob, trajectory=trajectory,
         )
 
     req_dir = Path(output_dir) / req_id
     req_dir.mkdir(parents=True, exist_ok=True)
     sequences, tmscores, pdb_files, sdf_files = [], [], [], []
+    trajectory_files = []
     ref_protein = None
-    for i, (pos, seq_prob) in enumerate(results):
+    for i, result in enumerate(results):
+        pos, seq_prob = result[0], result[1]
         sp, sl = update_pos(protein, ligand, pos)
         sp = update_seq(sp, seq_prob)
+        if trajectory:
+            from ..chem.protein import proteins_to_pdb_file
+
+            frame_proteins = []
+            for frame in result[2]:
+                fp, _ = update_pos(protein, ligand, frame)
+                frame_proteins.append(update_seq(fp, seq_prob))
+            traj_path = req_dir / f"sample_trajectory_{i}.pdb"
+            proteins_to_pdb_file(frame_proteins, traj_path)
+            trajectory_files.append(str(traj_path))
         if ref_protein is None:
             ref_protein = sp
         tmscore, t, R = max(
@@ -105,13 +123,16 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
         tmscores.append(float(tmscore))
         pdb_files.append(str(pdb_path))
         sdf_files.append(str(sdf_path))
-    return {
+    out = {
         "id": req_id,
         "sequences": sequences,
         "tmscores": tmscores,
         "pdb_files": pdb_files,
         "sdf_files": sdf_files,
     }
+    if trajectory:
+        out["trajectory_files"] = trajectory_files
+    return out
 
 
 def warmup_runner(runner, buckets, esm_dim) -> None:

@@ -86,6 +86,27 @@ def test_warmup_precompiles_buckets(tiny_ckpt, tmp_path):  # noqa: F811
     assert runner.trace_count == traced  # no retrace after warmup
 
 
+def test_serve_trajectory_request(tiny_ckpt, tmp_path):  # noqa: F811
+    """A request with "trajectory": K returns K-model PDB movie paths."""
+    from protein_redesign_tpu.cli.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(json.dumps({
+        "id": "t", "protein": "ACDEFGHIKL", "ligand": "CCO",
+        "num_samples": 1, "seed": 1, "trajectory": 2,
+    }) + "\n")
+    out = tmp_path / "results.jsonl"
+    main([
+        "-c", str(tiny_ckpt), "-o", str(tmp_path / "srv"),
+        "--num_steps", "4",
+        "--input", str(reqs), "--output", str(out),
+    ])
+    (resp,) = [json.loads(l) for l in out.read_text().splitlines()]
+    assert resp["id"] == "t"
+    (traj,) = resp["trajectory_files"]
+    assert open(traj).read().count("MODEL") >= 2
+
+
 def test_serve_ddim_parallel_sampler(tiny_ckpt, tmp_path):  # noqa: F811
     """The parallel-in-time sampler behind the serve CLI."""
     from protein_redesign_tpu.cli.serve import main
