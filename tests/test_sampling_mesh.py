@@ -107,6 +107,33 @@ def test_mesh_sampling_matches_single_device():
         np.testing.assert_allclose(l1, l2, rtol=0, atol=1e-5)
 
 
+def test_mesh_segmented_ddim_with_trajectory():
+    """Segmented DDIM + trajectory capture compose with data-parallel
+    mesh sampling: explicit segments=2 on an 8-device mesh matches the
+    single-device one-shot DDIM result bit-for-bit, and frames come back
+    gathered [K, n, 3]."""
+    from protein_redesign_tpu.cli.common import SamplingRunner
+
+    model, params, data = _tiny_runner_inputs()
+    datas = [data] * 8
+    key = jax.random.PRNGKey(7)
+    kw = dict(buckets=(16,), batch_size=8, mask_prob=0.3,
+              sampler="ddim", ddim_steps=2)
+
+    single = SamplingRunner(model, params, **kw)
+    res_single = single.run(datas, key)
+
+    mesh = make_mesh(jax.devices(), (8, 1))
+    sharded = SamplingRunner(model, params, mesh=mesh, segments=2, **kw)
+    res_mesh = sharded.run(datas, key, trajectory=2)
+
+    for (p1, l1), (p2, l2, frames) in zip(res_single, res_mesh):
+        np.testing.assert_allclose(p1, p2, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(l1, l2, rtol=0, atol=1e-5)
+        assert frames.shape == (2,) + p2.shape
+        np.testing.assert_array_equal(frames[-1], p2)
+
+
 def test_runner_mask_prob_does_not_retrace():
     """mask_prob is a traced argument: varying it per call reuses the one
     compiled program (the serve CLI depends on this — VERDICT item #2)."""
