@@ -373,20 +373,28 @@ class SamplingRunner:
             )
         if (
             sampler == "ddim_parallel"
+            and model.cfg.seq_process != "absorbing"
             and model.cfg.seq_reverse != "reference"
         ):
             raise ValueError(
                 "seq_reverse='ancestral' is implemented for the ddpm/ddim "
-                "samplers; ddim_parallel uses the reference recurrence"
+                "samplers; ddim_parallel uses the reference recurrence "
+                "(seq_reverse is ignored entirely under "
+                "seq_process='absorbing')"
             )
         if (
             sampler == "ddim_parallel"
             and model.cfg.seq_process == "absorbing"
+            and (
+                model.cfg.reveal_temperature > 0.0
+                or model.cfg.reveal_conf_noise > 0.0
+            )
         ):
             raise ValueError(
-                "seq_process='absorbing' is implemented for the ddpm and "
-                "ddim samplers; ddim_parallel's Picard iteration assumes a "
-                "continuous sequence channel"
+                "ddim_parallel with seq_process='absorbing' requires the "
+                "deterministic reveal: drop --reveal_temperature / "
+                "--reveal_conf_noise (the Picard fixed point needs a "
+                "deterministic step map), or use the ddpm/ddim samplers"
             )
         if mesh is not None:
             from ..parallel.mesh import replicated

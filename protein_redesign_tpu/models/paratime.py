@@ -82,10 +82,22 @@ def sample_ddim_parallel(
     """
     cfg = model.cfg
     if cfg.seq_process == "absorbing":
-        raise NotImplementedError(
-            "seq_process='absorbing' is implemented for the ddpm and ddim "
-            "samplers; the Picard iteration assumes a continuous sequence "
-            "channel (use model.sample or model.sample_ddim)"
+        if cfg.reveal_temperature > 0.0 or cfg.reveal_conf_noise > 0.0:
+            raise NotImplementedError(
+                "ddim_parallel with seq_process='absorbing' requires the "
+                "deterministic reveal (reveal_temperature=0, "
+                "reveal_conf_noise=0): the Picard fixed point is only "
+                "well-defined for a deterministic step map"
+            )
+        if coarse_init > 0:
+            raise NotImplementedError(
+                "coarse_init warm starts are implemented for the gaussian "
+                "sequence channel (extending a coarse commitment "
+                "trajectory to fine indices has no exact analogue)"
+            )
+        return _sample_absorbing_parallel(
+            model, params, batch, key, int(ddim_steps), int(window),
+            tol, mask_prob, mesh,
         )
     T = cfg.num_steps
     S = int(ddim_steps)
@@ -292,3 +304,170 @@ def sample_ddim_parallel(
     pos = nanometre_to_angstrom(z_final)
     stats = {"iterations": iters, "nfe": nfe}
     return pos, residue_mask[..., None] * logit_buf[S], stats
+
+
+def _sample_absorbing_parallel(
+    model, params, batch, key, S, W, tol, mask_prob, mesh,
+):
+    """Picard iteration for the absorbing sequence process
+    (`prdiff.py:_ddim_absorbing_step_fn` parallelized in time).
+
+    The coordinate channel is the same y-space drift as the gaussian
+    path (eta=0 DDIM). The sequence channel is the sticky
+    confidence-ranked reveal: commitments at index i+1 are a
+    DETERMINISTIC function of (logits_i, commitments_i) when
+    reveal_temperature == reveal_conf_noise == 0 (enforced by the
+    caller), so each sweep re-derives the whole window's commitment
+    trajectory with a cheap `lax.scan` over `_reveal_update` (no model
+    evals) seeded from the exact state at the window start — the same
+    two-visit exactness argument as the gaussian path applies, and
+    tol=0 reproduces `model.sample_ddim` exactly.
+
+    Convergence is measured on the coordinate change (z-space, as in the
+    gaussian path) joined with the committed-one-hot change: a single
+    commitment flip at any window position contributes ~1/num_residues
+    to the masked mean square, far above any practical tol^2."""
+    cfg = model.cfg
+    T = cfg.num_steps
+
+    # --- identical init path to sample_ddim / sample_init ----------------
+    k_prep, k_z, _k_seq, _k_scan = jax.random.split(key, 4)
+    batch = model.prepare_batch(
+        batch, k_prep, training=False, mask_prob=mask_prob
+    )
+    x = batch["x"]
+    mask = batch["residue_and_atom_mask"]
+    residue_mask = batch["residue_mask"]
+    B = x.shape[0]
+    z0 = remove_mean(jax.random.normal(k_z, x.shape, x.dtype), mask)
+    seq_known, inv2 = model._absorbing_known_and_designable(batch)
+    n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
+
+    from .diffusion import get_betas
+    from .prdiff import ddim_taus_np
+
+    taus_np = ddim_taus_np(T, S)
+    taus = jnp.asarray(taus_np)
+    acp_np = np.cumprod(1.0 - get_betas(T, cfg.diffusion_schedule)).astype(
+        np.float32
+    )
+    a_np = np.concatenate([acp_np[taus_np], [1.0]]).astype(np.float64)
+    gamma_np = np.sqrt((1.0 - a_np) / a_np).astype(np.float32)
+    gamma = jnp.asarray(gamma_np)
+    dgamma = gamma[1:] - gamma[:-1]                     # [S]
+    sqrt_a = jnp.asarray(np.sqrt(a_np), jnp.float32)    # [S+1]
+    # Reveal target times: the current tau at each index, except the
+    # LAST index which evaluates at t=0 whatever the grid (must commit
+    # every remaining position — `_ddim_absorbing_step_fn`).
+    t_reveal_np = taus_np.copy()
+    t_reveal_np[-1] = 0
+    t_reveal = jnp.asarray(t_reveal_np)
+
+    def eval_one_(z, sq, t_scalar):
+        t = jnp.broadcast_to(t_scalar, (B,))
+        return model.apply(params, batch, z, sq, mask, t)
+
+    SP = S + W
+    y0 = z0 / sqrt_a[0]
+    y_buf = jnp.broadcast_to(y0[None], (SP + 1, *z0.shape))
+    cm_buf = jnp.zeros((SP + 1, *inv2.shape), jnp.float32)
+    co_buf = jnp.zeros((SP + 1, *seq_known.shape), jnp.float32)
+    # Keys are dead under the deterministic reveal (static Python
+    # branches in `_reveal_update` never touch them) but the signature
+    # requires them.
+    dead_key = jax.random.PRNGKey(0)
+
+    idx_eval_max = S - 1
+    mask_sum = jnp.maximum(jnp.sum(mask), 1.0)
+    rmask_sum = jnp.maximum(jnp.sum(residue_mask), 1.0)
+    tol2 = jnp.asarray(tol, jnp.float32) ** 2
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        win_sharding = NamedSharding(mesh, P("data"))
+
+    def body(carry):
+        y_buf, cm_buf, co_buf, s, iters, nfe = carry
+        offs = jnp.arange(W)
+        idx = s + offs
+        valid = (idx <= idx_eval_max)
+        idx_c = jnp.minimum(idx, idx_eval_max)
+
+        ys = jnp.take(y_buf, idx_c, axis=0)              # [W,B,N,3]
+        cos = jnp.take(co_buf, idx_c, axis=0)            # [W,B,N,21]
+        zs = sqrt_a[idx_c][:, None, None, None] * ys
+        seqs = seq_known[None] + cos
+        if mesh is not None:
+            zs = jax.lax.with_sharding_constraint(zs, win_sharding)
+            seqs = jax.lax.with_sharding_constraint(seqs, win_sharding)
+        eps, logits = jax.vmap(eval_one_)(zs, seqs, taus[idx_c])
+
+        vmaskf = valid.astype(jnp.float32)[:, None, None, None]
+        inc = dgamma[idx_c][:, None, None, None] * eps * vmaskf
+        y_new = y_buf[s][None] + jnp.cumsum(inc, axis=0)  # -> idx s+1..s+W
+
+        # Commitment trajectory rebuild: sticky reveal scanned from the
+        # EXACT state at s with this sweep's fresh logits. Invalid
+        # (past-the-end) positions hold their carry.
+        def rstep(carry_c, inp):
+            cm, co = carry_c
+            logit, tr, v = inp
+            cm2, co2 = model._reveal_update(
+                logit, cm, co, inv2, n_inv, tr, dead_key, dead_key
+            )
+            keep = v.astype(jnp.float32)
+            cm2 = keep * cm2 + (1.0 - keep) * cm
+            co2 = keep * co2 + (1.0 - keep) * co
+            return (cm2, co2), (cm2, co2)
+
+        (_, _), (cm_new, co_new) = jax.lax.scan(
+            rstep, (cm_buf[s], co_buf[s]),
+            (logits, jnp.take(t_reveal, idx_c), valid),
+        )
+
+        y_old = jax.lax.dynamic_slice_in_dim(y_buf, s + 1, W, axis=0)
+        co_old = jax.lax.dynamic_slice_in_dim(co_buf, s + 1, W, axis=0)
+        sa_next = sqrt_a[jnp.minimum(idx + 1, S)][:, None, None, None]
+        dz2 = jnp.square(sa_next * (y_new - y_old))
+        err_z = jnp.sum(
+            mask[None, ..., None] * dz2, axis=(1, 2, 3)
+        ) / (3.0 * mask_sum)
+        ds2 = jnp.square(co_new - co_old)
+        err_s = jnp.sum(
+            residue_mask[None, ..., None] * ds2, axis=(1, 2, 3)
+        ) / (21.0 * rmask_sum)
+        ok = jnp.where(valid, jnp.maximum(err_z, err_s) <= tol2, True)
+        h = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
+
+        y_buf = jax.lax.dynamic_update_slice_in_dim(y_buf, y_new, s + 1, 0)
+        cm_buf = jax.lax.dynamic_update_slice_in_dim(
+            cm_buf, cm_new, s + 1, 0
+        )
+        co_buf = jax.lax.dynamic_update_slice_in_dim(
+            co_buf, co_new, s + 1, 0
+        )
+        return (
+            y_buf, cm_buf, co_buf,
+            jnp.minimum(s + h, S),
+            iters + 1,
+            nfe + jnp.sum(valid.astype(jnp.int32)),
+        )
+
+    def cond(carry):
+        _, _, _, s, iters, _ = carry
+        return (s < S) & (iters < 2 * S + 2)
+
+    init = (
+        y_buf, cm_buf, co_buf,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    y_buf, cm_buf, co_buf, s, iters, nfe = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    pos = nanometre_to_angstrom(y_buf[S])  # sqrt_a[S] == 1
+    logits_out = residue_mask[..., None] * (seq_known + co_buf[S])
+    return pos, logits_out, {"iterations": iters, "nfe": nfe}

@@ -160,6 +160,92 @@ class TestExactness:
         assert np.abs(np.asarray(pos1) - np.asarray(pos2)).max() > 1e-3
 
 
+class TestAbsorbingParallel:
+    """Picard iteration for seq_process='absorbing' (deterministic
+    sticky reveal): tol=0 must reproduce the sequential absorbing DDIM
+    — commitments EXACTLY (discrete), coordinates up to the y-space
+    arithmetic reordering."""
+
+    @pytest.fixture(scope="class")
+    def asetup(self):
+        model = ProteinReDiffModel(TINY.replace(seq_process="absorbing"))
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in _make_batch(4, 12, 32, esm_dim=16).items()
+        }
+        params = model.init_params(jax.random.PRNGKey(0), batch)
+        # Zero-init output heads make reveal confidences degenerate;
+        # perturb so the commitment ranking is weight-driven.
+        rng = np.random.RandomState(0)
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(
+                x.dtype
+            ),
+            params,
+        )
+        return model, params, batch
+
+    def test_tol_zero_matches_sequential(self, asetup):
+        model, params, batch = asetup
+        pos_seq, log_seq = model.sample_ddim(
+            params, batch, KEY, ddim_steps=S, eta=0.0, mask_prob=0.3
+        )
+        pos_par, log_par, stats = sample_ddim_parallel(
+            model, params, batch, KEY,
+            ddim_steps=S, window=4, tol=0.0, mask_prob=0.3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pos_par), np.asarray(pos_seq), atol=5e-4
+        )
+        # Commitments are discrete: identical, not just close.
+        np.testing.assert_array_equal(
+            np.asarray(log_par), np.asarray(log_seq)
+        )
+        assert int(stats["iterations"]) <= 2 * S + 2
+
+    def test_runner_accepts_absorbing_ddim_parallel(self, asetup):
+        from protein_redesign_tpu.chem import (
+            mol_from_smiles,
+            protein_from_sequence,
+            update_mol_positions,
+        )
+        from protein_redesign_tpu.cli.common import SamplingRunner
+        from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+
+        model, params, _ = asetup
+        mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+        prot = protein_from_sequence("ACDEFGHI")
+        data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+        runner = SamplingRunner(
+            model, params, buckets=(16,), mask_prob=0.5,
+            sampler="ddim_parallel", ddim_steps=4, window=4,
+        )
+        (res,) = runner.run([data], jax.random.PRNGKey(1))
+        pos, logits = res
+        assert np.isfinite(pos).all()
+        # Every residue row decodes to a committed (non-X) class.
+        assert (np.argmax(logits[2:], axis=-1) > 0).all()
+
+    def test_stochastic_reveal_rejected(self, asetup):
+        from protein_redesign_tpu.cli.common import SamplingRunner
+
+        model, params, batch = asetup
+        noisy = ProteinReDiffModel(
+            model.cfg.replace(reveal_temperature=0.5)
+        )
+        with pytest.raises(ValueError, match="deterministic reveal"):
+            SamplingRunner(noisy, params, sampler="ddim_parallel")
+        with pytest.raises(NotImplementedError, match="deterministic"):
+            sample_ddim_parallel(
+                noisy, params, batch, KEY, ddim_steps=4, window=2
+            )
+        with pytest.raises(NotImplementedError, match="coarse_init"):
+            sample_ddim_parallel(
+                model, params, batch, KEY, ddim_steps=4, window=2,
+                coarse_init=2,
+            )
+
+
 class TestRunnerGuards:
     def test_eta_rejected_with_ddim_parallel(self, setup):
         from protein_redesign_tpu.cli.common import SamplingRunner
