@@ -75,11 +75,54 @@ def bench_forward(model, params, bucket, n_res, iters=50):
     return per_step
 
 
+def wait_for_tpu(deadline_s=None):
+    """Bounded wait for the tunneled TPU relay (observed down for hours,
+    CLAUDE.md): probe a tiny matmul in a SUBPROCESS (a hung in-process
+    backend init cannot be cancelled) every 60 s until it succeeds or
+    the deadline passes. Returns True when the device answered. Override
+    the deadline with PRD_TPU_WAIT_S (0 = skip waiting)."""
+    import os
+    import subprocess
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("PRD_TPU_WAIT_S", 1200))
+    probe = ("import jax; x = jax.numpy.ones((8, 8));"
+             "print(float((x @ x).sum()))")
+    t0 = time.monotonic()
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=180,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        waited = time.monotonic() - t0
+        if waited >= deadline_s:
+            log(f"TPU relay still unreachable after {waited:.0f} s "
+                f"(probe rc={rc}); giving up")
+            return False
+        log(f"TPU relay not ready (probe rc={rc}, {waited:.0f} s "
+            f"elapsed); retrying in 60 s")
+        time.sleep(60)
+
+
 def main():
     from protein_redesign_tpu.utils.compile_cache import (
         enable_compilation_cache,
     )
 
+    if not wait_for_tpu():
+        print(json.dumps({
+            "metric": "sample_1000step_wallclock_192nodes",
+            "value": -1.0,
+            "unit": "s",
+            "vs_baseline": 0.0,
+            "error": "tpu_relay_unreachable",
+        }))
+        raise SystemExit(2)
     enable_compilation_cache()
     cfg = ModelConfig(
         single_dim=512, pair_dim=64, num_blocks=4, num_steps=NUM_STEPS
