@@ -320,6 +320,40 @@ class TestMesh:
             np.asarray(log_m), np.asarray(log_1), atol=1e-4
         )
 
+    def test_absorbing_window_sharded_matches_single_device(self):
+        """The absorbing Picard path's window sharding: commitments must
+        come out IDENTICAL (discrete) on the 8-device mesh."""
+        from protein_redesign_tpu.parallel.mesh import make_mesh
+
+        model = ProteinReDiffModel(TINY.replace(seq_process="absorbing"))
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in _make_batch(4, 12, 32, esm_dim=16).items()
+        }
+        params = model.init_params(jax.random.PRNGKey(0), batch)
+        rng = np.random.RandomState(0)
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(
+                x.dtype
+            ),
+            params,
+        )
+        mesh = make_mesh(jax.devices(), (8, 1))
+        pos_m, log_m, _ = jax.jit(
+            lambda p, b, k: sample_ddim_parallel(
+                model, p, b, k, ddim_steps=S, window=8, tol=0.0,
+                mask_prob=0.3, mesh=mesh,
+            )
+        )(params, batch, KEY)
+        pos_1, log_1, _ = sample_ddim_parallel(
+            model, params, batch, KEY,
+            ddim_steps=S, window=8, tol=0.0, mask_prob=0.3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pos_m), np.asarray(pos_1), atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(log_m), np.asarray(log_1))
+
     def test_runner_ddim_parallel_end_to_end(self, setup):
         """SamplingRunner integration: the serve/generate path."""
         from protein_redesign_tpu.cli.common import SamplingRunner
