@@ -288,7 +288,10 @@ def test_user_x_positions_always_designed(use_ddim):
     assert (pred > 0).all(), f"user-X rows echoed X: {pred}"
 
 
-def test_paratime_rejects_absorbing():
+def test_paratime_absorbing_support_matrix():
+    """ddim_parallel now supports absorbing with the DETERMINISTIC reveal
+    (test_paratime has the exactness proof); the stochastic reveal and
+    coarse_init warm starts are rejected with clear errors."""
     from protein_redesign_tpu.cli.common import SamplingRunner
     from protein_redesign_tpu.models.paratime import sample_ddim_parallel
 
@@ -299,9 +302,20 @@ def test_paratime_rejects_absorbing():
     params = ProteinReDiffModel(TINY).init_params(
         jax.random.PRNGKey(0), batch
     )
-    with pytest.raises(NotImplementedError, match="absorbing"):
-        sample_ddim_parallel(model, params, batch, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="absorbing"):
-        SamplingRunner(model, params={}, sampler="ddim_parallel")
-    # ddim IS supported for absorbing checkpoints (serving config).
+    # Deterministic reveal: accepted end-to-end.
+    pos, logits, _stats = sample_ddim_parallel(
+        model, params, batch, jax.random.PRNGKey(0),
+        ddim_steps=2, window=2, mask_prob=0.5,
+    )
+    assert np.isfinite(np.asarray(pos)).all()
+    SamplingRunner(model, params={}, sampler="ddim_parallel")
+    # Stochastic reveal: rejected (no deterministic fixed point).
+    noisy = ProteinReDiffModel(
+        TINY.replace(training_mode=False, reveal_temperature=0.5)
+    )
+    with pytest.raises(NotImplementedError, match="deterministic"):
+        sample_ddim_parallel(noisy, params, batch, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="deterministic reveal"):
+        SamplingRunner(noisy, params={}, sampler="ddim_parallel")
+    # ddim stays supported for absorbing checkpoints (serving config).
     SamplingRunner(model, params={}, sampler="ddim")
