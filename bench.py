@@ -86,13 +86,19 @@ def wait_for_tpu(deadline_s=None):
 
     if deadline_s is None:
         deadline_s = float(os.environ.get("PRD_TPU_WAIT_S", 1200))
+    if deadline_s <= 0:
+        return True  # skip waiting entirely; attempt the bench directly
     probe = ("import jax; x = jax.numpy.ones((8, 8));"
              "print(float((x @ x).sum()))")
     t0 = time.monotonic()
     while True:
         try:
+            # 420 s probe budget: ABOVE the 150-300 s remote-compile
+            # ceiling (CLAUDE.md) — killing a probe mid-compile would
+            # poison the tunnel grant for ~15 min and livelock the wait
+            # against a healthy-but-slow relay.
             rc = subprocess.run(
-                [sys.executable, "-c", probe], timeout=180,
+                [sys.executable, "-c", probe], timeout=420,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             ).returncode
         except subprocess.TimeoutExpired:

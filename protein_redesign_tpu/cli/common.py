@@ -396,6 +396,18 @@ class SamplingRunner:
                 "--reveal_conf_noise (the Picard fixed point needs a "
                 "deterministic step map), or use the ddpm/ddim samplers"
             )
+        if (
+            sampler == "ddim_parallel"
+            and model.cfg.seq_process == "absorbing"
+            and coarse_init > 0
+        ):
+            # Fail at construction (serve/CLI startup), not inside the
+            # first request: paratime raises the same constraint late.
+            raise ValueError(
+                "--coarse_init warm starts are implemented for the "
+                "gaussian sequence channel; drop it for absorbing "
+                "checkpoints"
+            )
         if mesh is not None:
             from ..parallel.mesh import replicated
 

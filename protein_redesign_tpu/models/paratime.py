@@ -46,6 +46,45 @@ from ..ops.geometry import nanometre_to_angstrom, remove_mean
 Batch = Dict[str, jnp.ndarray]
 
 
+def _ddim_time_tables(cfg, S: int):
+    """Host-side numpy time tables shared by both Picard samplers:
+    (taus_np [S], a_np [S+1] f64 with the x0 endpoint appended,
+    gamma_np [S+1] f32). Recomputed from the schedule's own numpy source
+    (`get_betas`) so they stay compile-time constants even under jit
+    (the jnp schedule pytree becomes a tracer there); the f32 round-trip
+    matches `sched.alphas_cumprod`'s stored values exactly."""
+    from .diffusion import get_betas
+    from .prdiff import ddim_taus_np
+
+    taus_np = ddim_taus_np(cfg.num_steps, S)
+    acp_np = np.cumprod(
+        1.0 - get_betas(cfg.num_steps, cfg.diffusion_schedule)
+    ).astype(np.float32)
+    a_np = np.concatenate([acp_np[taus_np], [1.0]]).astype(np.float64)
+    gamma_np = np.sqrt((1.0 - a_np) / a_np).astype(np.float32)
+    return taus_np, a_np, gamma_np
+
+
+def _window_sharding(mesh, W: int):
+    """NamedSharding placing the Picard window on the mesh 'data' axis,
+    warning when the window shards unevenly (per-sweep latency then
+    matches the next multiple of the chip count)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d_size = mesh.shape["data"]
+    if W % d_size:
+        import warnings
+
+        warnings.warn(
+            f"ddim_parallel window={W} is not a multiple of the mesh "
+            f"data axis ({d_size}); the window shards unevenly and "
+            f"per-sweep latency matches the next multiple "
+            f"({-(-W // d_size) * d_size}) — pick window as a multiple "
+            "of the chip count."
+        )
+    return NamedSharding(mesh, P("data"))
+
+
 def sample_ddim_parallel(
     model,
     params: Any,
@@ -99,7 +138,6 @@ def sample_ddim_parallel(
             model, params, batch, key, int(ddim_steps), int(window),
             tol, mask_prob, mesh,
         )
-    T = cfg.num_steps
     S = int(ddim_steps)
     W = int(window)
 
@@ -122,24 +160,10 @@ def sample_ddim_parallel(
     )
     s0 = extra * seq + inv * s0
 
-    # Time tables are host-side numpy, recomputed from the schedule's own
-    # numpy source (`get_betas`) so they stay compile-time constants even
-    # under jit (the jnp schedule pytree becomes a tracer there). The f32
-    # round-trip matches `sched.alphas_cumprod`'s stored values exactly.
-    from .diffusion import get_betas
-    from .prdiff import ddim_taus_np
-
-    taus_np = ddim_taus_np(T, S)                                    # [S]
-    taus = jnp.asarray(taus_np)
-
-    acp_np = np.cumprod(1.0 - get_betas(T, cfg.diffusion_schedule)).astype(
-        np.float32
-    )
-
     # y-space tables over trajectory indices 0..S (index S = x0 endpoint,
-    # alpha_bar := 1, gamma := 0, so y_S = z_S).
-    a_np = np.concatenate([acp_np[taus_np], [1.0]]).astype(np.float64)
-    gamma_np = np.sqrt((1.0 - a_np) / a_np).astype(np.float32)
+    # alpha_bar := 1, gamma := 0, so y_S = z_S) — see _ddim_time_tables.
+    taus_np, a_np, gamma_np = _ddim_time_tables(cfg, S)
+    taus = jnp.asarray(taus_np)
     gamma = jnp.asarray(gamma_np)
     dgamma = gamma[1:] - gamma[:-1]                     # [S]
     sqrt_a = jnp.asarray(np.sqrt(a_np), jnp.float32)    # [S+1]
@@ -215,20 +239,7 @@ def sample_ddim_parallel(
     tol2 = jnp.asarray(tol, jnp.float32) ** 2
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        d_size = mesh.shape["data"]
-        if W % d_size:
-            import warnings
-
-            warnings.warn(
-                f"ddim_parallel window={W} is not a multiple of the mesh "
-                f"data axis ({d_size}); the window shards unevenly and "
-                f"per-sweep latency matches the next multiple "
-                f"({-(-W // d_size) * d_size}) — pick window as a multiple "
-                "of the chip count."
-            )
-        win_sharding = NamedSharding(mesh, P("data"))
+        win_sharding = _window_sharding(mesh, W)
 
     def body(carry):
         y_buf, seq_buf, logit_buf, s, iters, nfe = carry
@@ -328,7 +339,14 @@ def _sample_absorbing_parallel(
     commitment flip at any window position contributes ~1/num_residues
     to the masked mean square, far above any practical tol^2."""
     cfg = model.cfg
-    T = cfg.num_steps
+    # sample_init validates this for the sequential samplers; an invalid
+    # value would otherwise silently fall back to the linear curve inside
+    # `_reveal_update`'s static branch.
+    if cfg.reveal_schedule not in ("linear", "cosine"):
+        raise ValueError(
+            f"reveal_schedule must be 'linear' or 'cosine', "
+            f"got {cfg.reveal_schedule!r}"
+        )
 
     # --- identical init path to sample_ddim / sample_init ----------------
     k_prep, k_z, _k_seq, _k_scan = jax.random.split(key, 4)
@@ -343,16 +361,8 @@ def _sample_absorbing_parallel(
     seq_known, inv2 = model._absorbing_known_and_designable(batch)
     n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
 
-    from .diffusion import get_betas
-    from .prdiff import ddim_taus_np
-
-    taus_np = ddim_taus_np(T, S)
+    taus_np, a_np, gamma_np = _ddim_time_tables(cfg, S)
     taus = jnp.asarray(taus_np)
-    acp_np = np.cumprod(1.0 - get_betas(T, cfg.diffusion_schedule)).astype(
-        np.float32
-    )
-    a_np = np.concatenate([acp_np[taus_np], [1.0]]).astype(np.float64)
-    gamma_np = np.sqrt((1.0 - a_np) / a_np).astype(np.float32)
     gamma = jnp.asarray(gamma_np)
     dgamma = gamma[1:] - gamma[:-1]                     # [S]
     sqrt_a = jnp.asarray(np.sqrt(a_np), jnp.float32)    # [S+1]
@@ -383,9 +393,7 @@ def _sample_absorbing_parallel(
     tol2 = jnp.asarray(tol, jnp.float32) ** 2
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        win_sharding = NamedSharding(mesh, P("data"))
+        win_sharding = _window_sharding(mesh, W)
 
     def body(carry):
         y_buf, cm_buf, co_buf, s, iters, nfe = carry
