@@ -442,7 +442,7 @@ class SamplingRunner:
                 "ddim_parallel already bounds its dispatches by the "
                 "Picard window"
             )
-        seg_T = model.cfg.num_steps if sampler == "ddpm" else ddim_steps
+        seg_T = self._step_count()
         if segments > 1 and seg_T % segments:
             raise ValueError(
                 f"step count ({seg_T}) must be divisible by "
@@ -506,11 +506,7 @@ class SamplingRunner:
             return self.segments
         if self.sampler == "ddim_parallel":
             return 1
-        T = (
-            self.model.cfg.num_steps
-            if self.sampler == "ddpm"
-            else self.ddim_steps
-        )
+        T = self._step_count()
         est_step_ms = (
             SEGMENT_REF_STEP_MS
             * max(batch_rows, 1)
@@ -524,13 +520,18 @@ class SamplingRunner:
                 return d
         return T
 
-    def _sample_group(self, p, b, k, mp, bucket: int, traj_frames: int = 0):
-        S = self._segments_for(bucket, b["residue_mask"].shape[0])
-        T = (
+    def _step_count(self) -> int:
+        """Steps the sampler's scan walks: the schedule length for ddpm,
+        the tau-grid length for the ddim family."""
+        return (
             self.model.cfg.num_steps
             if self.sampler == "ddpm"
             else self.ddim_steps
         )
+
+    def _sample_group(self, p, b, k, mp, bucket: int, traj_frames: int = 0):
+        S = self._segments_for(bucket, b["residue_mask"].shape[0])
+        T = self._step_count()
         if traj_frames:
             # Frames ride the segment boundaries (a host fetch of the
             # carry between dispatches — zero change to any compiled
@@ -544,15 +545,26 @@ class SamplingRunner:
                     "samplers; ddim_parallel refines all steps jointly "
                     "and has no sequential intermediate states"
                 )
-            if T % traj_frames:
+            if traj_frames < 0 or T % traj_frames:
                 raise ValueError(
-                    f"trajectory frames ({traj_frames}) must divide the "
-                    f"sampler's step count ({T})"
+                    f"trajectory frames ({traj_frames}) must be a "
+                    f"positive divisor of the sampler's step count ({T})"
                 )
-            S = next(
-                c for c in range(max(S, traj_frames), T + 1)
-                if c % traj_frames == 0 and T % c == 0
-            )
+            if self.segments >= 1:
+                # Explicit --sample_segments wins (documented contract of
+                # _segments_for); refuse rather than silently compiling a
+                # different segment shape than the user warmed/measured.
+                if self.segments % traj_frames:
+                    raise ValueError(
+                        f"trajectory frames ({traj_frames}) must divide "
+                        f"the explicit --sample_segments ({self.segments}) "
+                        f"so frames land on segment boundaries"
+                    )
+            else:
+                S = next(
+                    c for c in range(max(S, traj_frames), T + 1)
+                    if c % traj_frames == 0 and T % c == 0
+                )
         if S <= 1 and not traj_frames:
             return self._jit(p, b, k, mp)
         model = self.model

@@ -34,6 +34,27 @@ from operator import itemgetter
 from pathlib import Path
 
 
+import threading
+
+_claim_lock = threading.Lock()
+_claimed_counts = {}
+
+
+def _claim_request_dir(output_dir, req_id):
+    """Thread-safe unique output directory per request. Distinct ids keep
+    the plain <output_dir>/<id> path (the stdin-mode contract); a REUSED
+    id — e.g. two concurrent TCP clients both omitting "id" (default
+    "request") — gets <id>_2, <id>_3, ... so their files never collide
+    (post-processing deliberately runs outside the device lock)."""
+    with _claim_lock:
+        n = _claimed_counts.get(req_id, 0) + 1
+        _claimed_counts[req_id] = n
+    name = req_id if n == 1 else f"{req_id}_{n}"
+    req_dir = Path(output_dir) / name
+    req_dir.mkdir(parents=True, exist_ok=True)
+    return req_dir
+
+
 def handle_request(req, runner, embedder, output_dir, default_mask_prob,
                    device_lock=None):
     """One request through the PRE-COMPILED runner. The runner is built
@@ -43,9 +64,10 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
     server unusable).
 
     ``device_lock`` (TCP mode) guards only the device phase — ESM
-    embedding + sampling; the host-side post-processing (TMalign
-    subprocesses, PDB/SDF writes) runs outside it so concurrent clients
-    overlap their host work with each other's device work."""
+    embedding + sampling; the host-side featurization and
+    post-processing (TMalign subprocesses, PDB/SDF writes) run outside
+    it so concurrent clients overlap their host work with each other's
+    device work."""
     import contextlib
 
     import jax
@@ -66,28 +88,32 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
     mask_prob = float(req.get("mask_prob", default_mask_prob))
     seed = int(req.get("seed", 0))
     # Optional "trajectory": K — K intermediate denoising frames per
-    # sample, written as a K-model PDB movie. Frames are host fetches at
-    # segment boundaries of the SAME compiled dispatches, so enabling
-    # this never compiles a new program and the samples stay
-    # bit-identical (SamplingRunner.run).
+    # sample, written as a K-model PDB movie. Samples stay bit-identical
+    # (frames are host fetches between dispatches), but the FIRST such
+    # request per (bucket, K) compiles the segmented init/segment/finish
+    # programs if plain sampling at that bucket ran one-shot — a one-time
+    # 150-300 s stall on remote-compile TPU setups. Warm a movie request
+    # through the server before opening it to clients if that matters.
     trajectory = int(req.get("trajectory", 0))
 
     protein = load_protein_arg(req["protein"])
     ligand = parse_ligand_arg(req["ligand"])
-    with device_lock or contextlib.nullcontext():
-        data = {
-            **ligand_to_data(ligand),
-            **protein_to_data(
-                protein, residue_esm=embedder.embed_protein(protein)
-            ),
-        }
+    lock = device_lock or contextlib.nullcontext()
+    with lock:
+        residue_esm = embedder.embed_protein(protein)
+    # Featurization is pure host numpy — assembled OUTSIDE the lock so a
+    # concurrent client's sampling overlaps with this one's host work.
+    data = {
+        **ligand_to_data(ligand),
+        **protein_to_data(protein, residue_esm=residue_esm),
+    }
+    with lock:
         results = runner.run(
             [data] * num_samples, jax.random.PRNGKey(seed),
             mask_prob=mask_prob, trajectory=trajectory,
         )
 
-    req_dir = Path(output_dir) / req_id
-    req_dir.mkdir(parents=True, exist_ok=True)
+    req_dir = _claim_request_dir(output_dir, req_id)
     sequences, tmscores, pdb_files, sdf_files = [], [], [], []
     trajectory_files = []
     ref_protein = None

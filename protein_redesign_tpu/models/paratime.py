@@ -241,6 +241,9 @@ def sample_ddim_parallel(
     if mesh is not None:
         win_sharding = _window_sharding(mesh, W)
 
+    # NOTE: the window indexing / y-cumsum rebuild / convergence-slide
+    # scaffolding below is mirrored in _sample_absorbing_parallel (only
+    # the sequence channel differs) — keep the two bodies in lockstep.
     def body(carry):
         y_buf, seq_buf, logit_buf, s, iters, nfe = carry
         offs = jnp.arange(W)
@@ -395,6 +398,8 @@ def _sample_absorbing_parallel(
     if mesh is not None:
         win_sharding = _window_sharding(mesh, W)
 
+    # NOTE: mirrors sample_ddim_parallel's loop scaffolding (window
+    # indexing, y-cumsum rebuild, convergence-slide) — keep in lockstep.
     def body(carry):
         y_buf, cm_buf, co_buf, s, iters, nfe = carry
         offs = jnp.arange(W)

@@ -145,12 +145,46 @@ def test_runner_trajectory(sampler, kw):
     np.testing.assert_array_equal(plain[0][0], pos)
     np.testing.assert_array_equal(plain[0][1], logits)
 
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="positive divisor"):
         runner.run([data], key, trajectory=3)
+    with pytest.raises(ValueError, match="positive divisor"):
+        runner.run([data], key, trajectory=-2)  # |−2| divides; still bad
     rp = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5,
                         sampler="ddim_parallel")
     with pytest.raises(ValueError, match="intermediate states"):
         rp.run([data], key, trajectory=2)
+
+
+def test_trajectory_respects_explicit_segments():
+    """With an explicit --sample_segments, trajectory capture never
+    silently compiles a different segment shape: frames must divide the
+    explicit segment count (then land on its boundaries), else error."""
+    from protein_redesign_tpu.chem import (
+        mol_from_smiles,
+        protein_from_sequence,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = _batch()
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    mol = update_mol_positions(mol_from_smiles("CC"), np.zeros((2, 3)))
+    prot = protein_from_sequence("ACDEFGHI")
+    data = {**ligand_to_data(mol), **protein_to_data(prot, esm_dim=16)}
+    key = jax.random.PRNGKey(3)
+
+    runner = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5,
+                            segments=4)  # T=8 -> seg_len 2
+    out = runner.run([data], key, trajectory=2)  # 2 | 4: every 2nd seg
+    traced = runner.trace_count
+    assert out[0][2].shape[0] == 2
+    # Same segment shape as plain segmented runs: no new compile.
+    runner.run([data], key)
+    assert runner.trace_count == traced
+    with pytest.raises(ValueError, match="explicit"):
+        runner.run([data], key, trajectory=8)  # 8 does not divide 4
 
 
 def test_runner_segment_validation():
