@@ -178,6 +178,52 @@ def test_serve_tcp_mode(tiny_ckpt, tmp_path):  # noqa: F811
     assert "error" in r2  # unparseable line -> error result, id unknown
 
 
+def test_serve_client_script(tiny_ckpt, tmp_path):  # noqa: F811
+    """scripts/serve_client.py drives the TCP server: two id-less
+    requests over one connection land in DISTINCT output dirs (the
+    request-dir claim), ordered responses."""
+    import queue
+    import sys
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.cli.serve import serve_tcp
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+    from protein_redesign_tpu.utils.esm import ESMEmbedder
+
+    sys.path.insert(0, "scripts")
+    from serve_client import send_requests
+
+    model = ProteinReDiffModel(TINY.replace(training_mode=False))
+    batch = {
+        k: jnp.asarray(v) for k, v in _make_batch(4, 8, 16, esm_dim=16).items()
+    }
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    runner = SamplingRunner(model, params, buckets=(16,), mask_prob=0.5)
+    embedder = ESMEmbedder(esm_dim=16)
+
+    port_q = queue.Queue()
+    t = threading.Thread(
+        target=serve_tcp,
+        args=(0, runner, embedder, tmp_path / "srv", 0.5),
+        kwargs={"max_requests": 2, "ready_cb": port_q.put},
+        daemon=True,
+    )
+    t.start()
+    port = port_q.get(timeout=60)
+
+    req = {"protein": "ACDEFGHI", "ligand": "CC", "num_samples": 1}
+    r1, r2 = send_requests("127.0.0.1", port, [req, {**req, "seed": 1}])
+    t.join(timeout=60)
+    assert r1["pdb_files"][0] != r2["pdb_files"][0]  # distinct dirs
+    for r in (r1, r2):
+        assert open(r["pdb_files"][0]).read().startswith("ATOM")
+
+
 def _tiny_runner(**kw):
     import jax
     import jax.numpy as jnp
