@@ -85,7 +85,10 @@ def wait_for_tpu(deadline_s=None):
     import subprocess
 
     if deadline_s is None:
-        deadline_s = float(os.environ.get("PRD_TPU_WAIT_S", 1200))
+        # default raised 1200 -> 3600: relay outages of 2-5+ h observed
+        # (CLAUDE.md); an hour of waiting triples the chance the
+        # end-of-round bench lands on a live relay.
+        deadline_s = float(os.environ.get("PRD_TPU_WAIT_S", 3600))
     if deadline_s <= 0:
         return True  # skip waiting entirely; attempt the bench directly
     probe = ("import jax; x = jax.numpy.ones((8, 8));"
