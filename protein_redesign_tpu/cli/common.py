@@ -258,12 +258,27 @@ def add_sampler_args(parser) -> None:
                              "XLA, BASELINE.md), query-chunked fallback "
                              "for training / N>=2048; 0 = plain XLA "
                              "everywhere")
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="force the fused Pallas attention kernel at "
+                             "every bucket (the auto plan already selects "
+                             "it where it wins; BASELINE.md)")
+    for flag, what in (
+        ("use_pallas_trimul", "fused triangle-multiplication"),
+        ("use_pallas_transition", "fused LN+MLP transition"),
+        ("use_pallas_outer", "fused OuterLinear"),
+        ("use_pallas_fused_gated", "fully-fused gated attention "
+                                   "(projections+gating in-kernel)"),
+    ):
+        parser.add_argument(f"--{flag}", action="store_true",
+                            help=f"opt-in {what} Pallas kernel "
+                                 "(experimental; see BASELINE.md kernel "
+                                 "notes for measured verdicts)")
 
 
 def sampler_cfg_overrides(args) -> Dict:
     """ModelConfig.replace(**...) overrides from add_sampler_args flags
     (inference-time sampler behavior riding on the model config)."""
-    return dict(
+    overrides = dict(
         seq_reverse=args.seq_reverse,
         reveal_schedule=args.reveal_schedule,
         reveal_temperature=args.reveal_temperature,
@@ -271,6 +286,13 @@ def sampler_cfg_overrides(args) -> Dict:
         attn_chunk=args.attn_chunk,
         pallas_auto_min_n=args.pallas_auto_min_n,
     )
+    # store_true kernel toggles: only override when the user set them, so
+    # a checkpoint config's own kernel fields survive the load.
+    for flag in ("use_pallas", "use_pallas_trimul", "use_pallas_transition",
+                 "use_pallas_outer", "use_pallas_fused_gated"):
+        if getattr(args, flag):
+            overrides[flag] = True
+    return overrides
 
 
 def runner_sampler_kwargs(args) -> Dict:

@@ -55,7 +55,7 @@ from ..chem.protein import (
     read_fasta,
 )
 from ..utils.metrics import (
-    ca_rmsd,
+    kabsch_rmsd,
     sequence_diversity,
     sequence_recovery,
     tm_scores,
@@ -123,7 +123,7 @@ def read_masked_positions(input_dir: Path) -> Dict[str, List[int]]:
 
 def resolve_reference(
     name: str,
-    ref_path: Optional[Path],
+    ref_protein: Optional[Protein],
     ref_dir: Optional[Path],
 ) -> Optional[Protein]:
     """Reference structure for a group, if the user supplied one."""
@@ -132,9 +132,62 @@ def resolve_reference(
             p = ref_dir / candidate
             if p.exists():
                 return protein_from_pdb_file(p)
-    if ref_path is not None:
-        return protein_from_pdb_file(ref_path)
-    return None
+    return ref_protein
+
+
+def _ca_map(prot: Protein) -> Dict[Tuple[int, int], np.ndarray]:
+    """(chain_index, residue_index) -> CA position, for residues whose
+    CA atom is actually resolved (atom_mask) — external reference PDBs
+    routinely have unresolved loops/missing CAs, so metrics must pair by
+    residue identity, not array position."""
+    return {
+        (int(prot.chain_index[i]), int(prot.residue_index[i])):
+            prot.atom_pos[i, 1]
+        for i in range(len(prot))
+        if prot.atom_mask[i, 1] > 0.5
+    }
+
+
+def paired_ca_rmsd(prb: Protein, ref: Protein) -> Optional[float]:
+    """Kabsch CA-RMSD over residues present (with CA) in BOTH
+    structures, paired by (chain, residue number)."""
+    pm, rm = _ca_map(prb), _ca_map(ref)
+    keys = [k for k in pm if k in rm]
+    if len(keys) < 3:
+        return None
+    x = np.stack([pm[k] for k in keys])
+    y = np.stack([rm[k] for k in keys])
+    return kabsch_rmsd(x, y)
+
+
+def paired_recovery(
+    designs: Sequence[Protein],
+    ref: Protein,
+    masked: Sequence[int] = (),
+) -> Optional[float]:
+    """Mean residue-identity recovery vs a reference STRUCTURE, paired
+    by (chain, residue number); ``masked`` restricts to those design
+    positions (0-based array indices)."""
+    ref_aa = {
+        (int(ref.chain_index[i]), int(ref.residue_index[i])):
+            int(ref.aatype[i])
+        for i in range(len(ref))
+    }
+    masked_set = set(masked)
+    scores = []
+    for p in designs:
+        hits = total = 0
+        for i in range(len(p)):
+            if masked_set and i not in masked_set:
+                continue
+            key = (int(p.chain_index[i]), int(p.residue_index[i]))
+            if key not in ref_aa:
+                continue
+            total += 1
+            hits += int(p.aatype[i]) == ref_aa[key]
+        if total:
+            scores.append(hits / total)
+    return float(np.mean(scores)) if scores else None
 
 
 def _mean(vals: Sequence[float]) -> Optional[float]:
@@ -155,23 +208,33 @@ def score_group(
     else:
         ref_struct, ref_kind = ref, "provided"
         scored = models
-    if ref_seq is None and ref is not None:
-        ref_seq = protein_to_sequence(ref)
+    rmsds = [paired_ca_rmsd(p, ref_struct) for p in scored]
     row = {
         "num_models": len(models),
         "reference": ref_kind,
         "tm": [round(s, 4) for s in tm_scores(scored, ref_struct)],
-        "ca_rmsd": [round(ca_rmsd(p, ref_struct), 3) for p in scored],
+        "ca_rmsd": [round(r, 3) for r in rmsds if r is not None],
         "diversity": round(sequence_diversity(designs), 4),
     }
     row["tm_mean"] = _mean(row["tm"])
     row["ca_rmsd_mean"] = _mean(row["ca_rmsd"])
     if ref_seq is not None:
+        # a reference FASTA defines sequence positions directly
         row["recovery"] = round(sequence_recovery(designs, ref_seq), 4)
         if masked:
             row["recovery_masked"] = round(
                 sequence_recovery(designs, ref_seq, masked_only=masked), 4
             )
+    elif ref is not None:
+        # recovery vs the reference STRUCTURE's residues, paired by
+        # (chain, residue number) — robust to gaps in experimental PDBs
+        rec = paired_recovery(models, ref)
+        if rec is not None:
+            row["recovery"] = round(rec, 4)
+        if masked:
+            rec_m = paired_recovery(models, ref, masked=masked)
+            if rec_m is not None:
+                row["recovery_masked"] = round(rec_m, 4)
     return row
 
 
@@ -210,20 +273,22 @@ def aggregate(groups: Dict[str, dict]) -> dict:
 
 
 def write_csv(path: Path, groups: Dict[str, dict]) -> None:
+    import csv
+
     cols = [
         "name", "num_models", "reference", "tm_mean", "ca_rmsd_mean",
         "recovery", "recovery_masked", "diversity",
     ]
-    with open(path, "w") as f:
-        f.write(",".join(cols) + "\n")
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
+        writer.writeheader()
         for name, row in groups.items():
-            f.write(
-                ",".join(
-                    str(row.get(c, "")) if c != "name" else name
-                    for c in cols
-                )
-                + "\n"
-            )
+            out = {
+                c: ("" if row.get(c) is None else row.get(c))
+                for c in cols
+            }
+            out["name"] = name
+            writer.writerow(out)
 
 
 def main(argv=None):
@@ -264,9 +329,13 @@ def main(argv=None):
             return next(iter(ref_seqs.values()))
         return None
 
+    ref_protein = (
+        protein_from_pdb_file(args.ref_path)
+        if args.ref_path is not None else None
+    )
     groups: Dict[str, dict] = {}
     for name, models in struct_groups.items():
-        ref = resolve_reference(name, args.ref_path, args.ref_dir)
+        ref = resolve_reference(name, ref_protein, args.ref_dir)
         groups[name] = score_group(
             models, ref, ref_seq_for(name), masked.get(name, ())
         )

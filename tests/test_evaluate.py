@@ -143,3 +143,48 @@ def test_sequence_only_layout(tmp_path):
 def test_empty_dir_errors(tmp_path):
     with pytest.raises(SystemExit):
         main(["-i", str(tmp_path)])
+
+
+def delete_residues(prot, positions):
+    keep = np.array(
+        [i for i in range(len(prot)) if i not in set(positions)]
+    )
+    return dataclasses.replace(
+        prot,
+        chain_index=prot.chain_index[keep],
+        residue_index=prot.residue_index[keep],
+        aatype=prot.aatype[keep],
+        atom_pos=prot.atom_pos[keep],
+        atom_mask=prot.atom_mask[keep],
+    )
+
+
+def test_gapped_reference_pairs_by_residue_number(tmp_path):
+    """Experimental reference PDBs have unresolved loops: CA-RMSD and
+    recovery must pair residues by (chain, residue number), not by
+    array position — a positional prefix would mis-register everything
+    after the gap."""
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    samples = [seq_helix(noise=0.2, seed=s) for s in (1, 2)]
+    proteins_to_pdb_file(samples, out_dir / "sample_protein.pdb")
+
+    ref = seq_helix()
+    # drop an unresolved loop (residues 10-14) and one missing CA
+    ref = delete_residues(ref, range(10, 15))
+    gapped = dataclasses.replace(ref, atom_mask=ref.atom_mask.copy())
+    gapped.atom_mask[20, 1] = 0.0
+    protein_to_pdb_file(gapped, tmp_path / "ref.pdb")
+
+    main([
+        "-i", str(out_dir), "-r", str(tmp_path / "ref.pdb"),
+        "-o", str(tmp_path / "report.json"),
+    ])
+    row = json.loads(
+        (tmp_path / "report.json").read_text()
+    )["groups"]["sample"]
+    # correct pairing: only ~0.2 A of noise remains; positional-prefix
+    # pairing would mis-register 25 of 40 residues (several Angstroms)
+    assert row["ca_rmsd_mean"] < 1.0
+    # paired identity recovery vs the reference structure's residues
+    assert row["recovery"] == 1.0

@@ -185,6 +185,7 @@ def test_serve_client_script(tiny_ckpt, tmp_path):  # noqa: F811
     import queue
     import sys
     import threading
+    from pathlib import Path
 
     import jax
     import jax.numpy as jnp
@@ -195,7 +196,9 @@ def test_serve_client_script(tiny_ckpt, tmp_path):  # noqa: F811
     from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
     from protein_redesign_tpu.utils.esm import ESMEmbedder
 
-    sys.path.insert(0, "scripts")
+    scripts_dir = str(Path(__file__).resolve().parents[1] / "scripts")
+    if scripts_dir not in sys.path:
+        sys.path.insert(0, scripts_dir)
     from serve_client import send_requests
 
     model = ProteinReDiffModel(TINY.replace(training_mode=False))
