@@ -24,8 +24,8 @@ Input layouts recognized (both generation CLIs' contracts):
 - `masked_sequences.fasta`, when present, defines the redesign targets
   ('X' positions) for masked-position recovery.
 
-Structure metrics per group: mirror-aware TM-score and Kabsch CA-RMSD
-of every model vs the reference structure — `<name>.pdb` (or
+Structure metrics per group: mirror-aware TM-score, Kabsch CA-RMSD,
+and CA-lDDT of every model vs the reference structure — `<name>.pdb` (or
 `<name>_protein.pdb`) under --ref_dir, or the single --ref_path; with
 no reference, the first sample serves as reference (the generation
 CLIs' own fallback, `generate.py:142-146`) and the report says so.
@@ -55,6 +55,7 @@ from ..chem.protein import (
     read_fasta,
 )
 from ..utils.metrics import (
+    ca_lddt,
     kabsch_rmsd,
     sequence_diversity,
     sequence_recovery,
@@ -160,6 +161,20 @@ def paired_ca_rmsd(prb: Protein, ref: Protein) -> Optional[float]:
     return kabsch_rmsd(x, y)
 
 
+def paired_lddt(prb: Protein, ref: Protein) -> Optional[float]:
+    """CA-lDDT over residues paired by (chain, residue number)."""
+    pm, rm = _ca_map(prb), _ca_map(ref)
+    keys = sorted(k for k in pm if k in rm)
+    if len(keys) < 4:
+        return None
+    return ca_lddt(
+        np.stack([pm[k] for k in keys]),
+        np.stack([rm[k] for k in keys]),
+        residue_numbers=np.array([k[1] for k in keys]),
+        chain_indices=np.array([k[0] for k in keys]),
+    )
+
+
 def paired_recovery(
     designs: Sequence[Protein],
     ref: Protein,
@@ -209,15 +224,18 @@ def score_group(
         ref_struct, ref_kind = ref, "provided"
         scored = models
     rmsds = [paired_ca_rmsd(p, ref_struct) for p in scored]
+    lddts = [paired_lddt(p, ref_struct) for p in scored]
     row = {
         "num_models": len(models),
         "reference": ref_kind,
         "tm": [round(s, 4) for s in tm_scores(scored, ref_struct)],
         "ca_rmsd": [round(r, 3) for r in rmsds if r is not None],
+        "lddt": [round(v, 4) for v in lddts if v is not None],
         "diversity": round(sequence_diversity(designs), 4),
     }
     row["tm_mean"] = _mean(row["tm"])
     row["ca_rmsd_mean"] = _mean(row["ca_rmsd"])
+    row["lddt_mean"] = _mean(row["lddt"])
     if ref_seq is not None:
         # a reference FASTA defines sequence positions directly
         row["recovery"] = round(sequence_recovery(designs, ref_seq), 4)
@@ -260,7 +278,7 @@ def aggregate(groups: Dict[str, dict]) -> dict:
     report it."""
     agg: dict = {"num_groups": len(groups)}
     for metric in (
-        "tm_mean", "ca_rmsd_mean", "recovery", "recovery_masked",
+        "tm_mean", "ca_rmsd_mean", "lddt_mean", "recovery", "recovery_masked",
         "diversity",
     ):
         vals = [
@@ -277,7 +295,7 @@ def write_csv(path: Path, groups: Dict[str, dict]) -> None:
 
     cols = [
         "name", "num_models", "reference", "tm_mean", "ca_rmsd_mean",
-        "recovery", "recovery_masked", "diversity",
+        "lddt_mean", "recovery", "recovery_masked", "diversity",
     ]
     with open(path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
@@ -356,7 +374,7 @@ def main(argv=None):
     agg = report["aggregate"]
     print(f"evaluated {agg['num_groups']} group(s) -> {out_path}")
     for metric in (
-        "tm_mean", "ca_rmsd_mean", "recovery", "recovery_masked",
+        "tm_mean", "ca_rmsd_mean", "lddt_mean", "recovery", "recovery_masked",
         "diversity",
     ):
         if metric in agg:

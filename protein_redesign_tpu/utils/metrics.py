@@ -88,3 +88,53 @@ def tm_scores(
     from .tmalign import best_tmalign
 
     return [best_tmalign(p, ref)[0] for p in samples]
+
+
+def ca_lddt(
+    prb_ca: np.ndarray,
+    ref_ca: np.ndarray,
+    inclusion_radius: float = 15.0,
+    thresholds: Sequence[float] = (0.5, 1.0, 2.0, 4.0),
+    min_seq_sep: int = 2,
+    residue_numbers: np.ndarray = None,
+    chain_indices: np.ndarray = None,
+) -> float:
+    """CA-lDDT: superposition-free local-distance difference test
+    (Mariani et al. 2013) over paired CA coordinates.
+
+    For every residue pair within ``inclusion_radius`` in the REFERENCE
+    and sequence separation >= ``min_seq_sep``, scores the fraction of
+    distances preserved within each threshold; returns the mean over
+    the four standard thresholds. Complements the global TM-score /
+    Kabsch RMSD in `tm_scores`/`kabsch_rmsd`: insensitive to domain
+    motion, sensitive to local geometry.
+
+    ``residue_numbers``/``chain_indices`` (optional, same length) give
+    the true sequence separation when the pairing has gaps (evaluation
+    vs an experimental PDB with unresolved loops); inter-chain pairs
+    are always included, as in the lDDT definition. Default: positional
+    indices, one chain.
+    """
+    assert prb_ca.shape == ref_ca.shape and prb_ca.shape[-1] == 3
+    n = len(ref_ca)
+    if n < min_seq_sep + 1:
+        return 0.0
+    if residue_numbers is None:
+        residue_numbers = np.arange(n)
+    d_ref = np.linalg.norm(ref_ca[:, None] - ref_ca[None, :], axis=-1)
+    d_prb = np.linalg.norm(prb_ca[:, None] - prb_ca[None, :], axis=-1)
+    sep = np.abs(
+        residue_numbers[:, None] - residue_numbers[None, :]
+    ).astype(np.int64)
+    if chain_indices is not None:
+        sep = np.where(
+            chain_indices[:, None] != chain_indices[None, :],
+            min_seq_sep, sep,
+        )
+    pairs = (d_ref < inclusion_radius) & (sep >= min_seq_sep)
+    if not pairs.any():
+        return 0.0
+    diff = np.abs(d_prb - d_ref)[pairs]
+    return float(
+        np.mean([(diff < t).mean() for t in thresholds])
+    )

@@ -54,6 +54,7 @@ def test_single_complex_layout(tmp_path):
     assert row["reference"] == "provided"
     assert len(row["tm"]) == 3 and min(row["tm"]) > 0.5
     assert row["ca_rmsd_mean"] < 1.0
+    assert 0.5 < row["lddt_mean"] <= 1.0
     # reference sequence decoded from the reference PDB itself
     assert row["recovery"] == 1.0
     assert report["aggregate"]["num_groups"] == 1
