@@ -690,6 +690,27 @@ def mols_to_sdf_file(mols: Sequence[Molecule], path: Union[str, Path]) -> None:
             f.write(mol_to_sdf(mol))
 
 
+def mols_from_sdf_file(path: Union[str, Path]) -> List[Molecule]:
+    """Parse EVERY record of a multi-record SDF file (the generation
+    CLIs write one record per sample, `cli/generate.py`)."""
+    mols: List[Molecule] = []
+    record: List[str] = []
+    # line-wise accumulation: the record's NAME line may be empty, so
+    # splitting on "$$$$" and stripping newlines would eat it
+    for line in Path(path).read_text().splitlines():
+        if line.strip() == "$$$$":
+            if any(l.strip() for l in record):
+                mols.append(
+                    mol_from_sdf("\n".join(record), is_path=False)
+                )
+            record = []
+        else:
+            record.append(line)
+    if any(l.strip() for l in record):
+        mols.append(mol_from_sdf("\n".join(record), is_path=False))
+    return mols
+
+
 # ------------------------------------------------------------------ geometry
 def get_mol_positions(mol: Molecule) -> np.ndarray:
     """Conformer coordinates (reference `mol.py:56-62`)."""

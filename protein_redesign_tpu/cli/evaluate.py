@@ -57,12 +57,14 @@ from ..chem.protein import (
 from ..utils.metrics import (
     ca_lddt,
     kabsch_rmsd,
+    ligand_interface_stats,
     sequence_diversity,
     sequence_recovery,
     tm_scores,
 )
 
 _MODEL_RE = re.compile(r"^sample_protein_(.+)_model_(\d+)\.pdb$")
+_LIGAND_RE = re.compile(r"^sample_ligand_(.+)_model_(\d+)\.sdf$")
 _SAMPLE_RE = re.compile(r"^(.+)_sample_(\d+)$")
 
 
@@ -88,6 +90,32 @@ def discover_structure_groups(
         name: [p for _, p in sorted(models, key=lambda x: x[0])]
         for name, models in groups.items()
     }
+
+
+def discover_ligand_groups(
+    input_dir: Path,
+) -> Dict[str, Dict[int, np.ndarray]]:
+    """Group name -> {model index -> ligand heavy-atom positions} from
+    the generation CLIs' SDF outputs (multi-record `sample_ligand.sdf`
+    for the single layout, per-model files for the batch layout)."""
+    from ..chem.mol import get_mol_positions, mols_from_sdf_file
+
+    groups: Dict[str, Dict[int, np.ndarray]] = {}
+    single = input_dir / "sample_ligand.sdf"
+    if single.exists():
+        groups["sample"] = {
+            i: get_mol_positions(m)
+            for i, m in enumerate(mols_from_sdf_file(single))
+        }
+    for path in sorted(input_dir.glob("sample_ligand_*_model_*.sdf")):
+        m = _LIGAND_RE.match(path.name)
+        if not m:
+            continue
+        name, idx = m.group(1), int(m.group(2))
+        mols = mols_from_sdf_file(path)
+        if mols:
+            groups.setdefault(name, {})[idx] = get_mol_positions(mols[0])
+    return groups
 
 
 def discover_sequence_groups(input_dir: Path) -> Dict[str, List[str]]:
@@ -214,6 +242,7 @@ def score_group(
     ref: Optional[Protein],
     ref_seq: Optional[str],
     masked: Sequence[int],
+    ligands: Optional[Dict[int, np.ndarray]] = None,
 ) -> dict:
     """All metrics for one group of sampled structures."""
     designs = [protein_to_sequence(p) for p in models]
@@ -253,6 +282,25 @@ def score_group(
             rec_m = paired_recovery(models, ref, masked=masked)
             if rec_m is not None:
                 row["recovery_masked"] = round(rec_m, 4)
+    if ligands:
+        # interface stats pair each model with ITS OWN ligand record
+        # (the CLIs rigid-align protein+ligand together per sample)
+        stats = [
+            ligand_interface_stats(
+                p.atom_pos[p.atom_mask[:, 1] > 0.5, 1], ligands[i]
+            )
+            for i, p in enumerate(models) if i in ligands
+        ]
+        if stats:
+            row["lig_contacts_mean"] = round(
+                float(np.mean([s["contacts"] for s in stats])), 2
+            )
+            row["lig_clashes_mean"] = round(
+                float(np.mean([s["clashes"] for s in stats])), 2
+            )
+            row["lig_min_dist_mean"] = round(
+                float(np.mean([s["min_dist"] for s in stats])), 3
+            )
     return row
 
 
@@ -279,7 +327,8 @@ def aggregate(groups: Dict[str, dict]) -> dict:
     agg: dict = {"num_groups": len(groups)}
     for metric in (
         "tm_mean", "ca_rmsd_mean", "lddt_mean", "recovery", "recovery_masked",
-        "diversity",
+        "diversity", "lig_contacts_mean", "lig_clashes_mean",
+        "lig_min_dist_mean",
     ):
         vals = [
             g[metric] for g in groups.values()
@@ -296,6 +345,7 @@ def write_csv(path: Path, groups: Dict[str, dict]) -> None:
     cols = [
         "name", "num_models", "reference", "tm_mean", "ca_rmsd_mean",
         "lddt_mean", "recovery", "recovery_masked", "diversity",
+        "lig_contacts_mean", "lig_clashes_mean", "lig_min_dist_mean",
     ]
     with open(path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
@@ -351,11 +401,13 @@ def main(argv=None):
         protein_from_pdb_file(args.ref_path)
         if args.ref_path is not None else None
     )
+    lig_groups = discover_ligand_groups(args.input_dir)
     groups: Dict[str, dict] = {}
     for name, models in struct_groups.items():
         ref = resolve_reference(name, ref_protein, args.ref_dir)
         groups[name] = score_group(
-            models, ref, ref_seq_for(name), masked.get(name, ())
+            models, ref, ref_seq_for(name), masked.get(name, ()),
+            ligands=lig_groups.get(name),
         )
     for name, designs in seq_groups.items():
         if name in groups:  # structure run already covers this input
@@ -375,7 +427,8 @@ def main(argv=None):
     print(f"evaluated {agg['num_groups']} group(s) -> {out_path}")
     for metric in (
         "tm_mean", "ca_rmsd_mean", "lddt_mean", "recovery", "recovery_masked",
-        "diversity",
+        "diversity", "lig_contacts_mean", "lig_clashes_mean",
+        "lig_min_dist_mean",
     ):
         if metric in agg:
             print(f"  {metric}: {agg[metric]}")

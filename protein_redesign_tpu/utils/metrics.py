@@ -90,6 +90,39 @@ def tm_scores(
     return [best_tmalign(p, ref)[0] for p in samples]
 
 
+def ligand_interface_stats(
+    protein_ca: np.ndarray,
+    ligand_pos: np.ndarray,
+    contact_cutoff: float = 6.0,
+    clash_cutoff: float = 2.0,
+) -> dict:
+    """Protein-ligand interface sanity stats over a generated pose.
+
+    The reference paper's third evaluation axis is ligand binding
+    affinity (`README.md:201`), which needs an external docking tool;
+    this is the dependency-free surrogate: how the generated CA trace
+    packs against the generated ligand pose. CA-only geometry (sampled
+    structures carry no side chains), hence the lenient cutoffs:
+
+    - ``contacts``: number of residues with CA within ``contact_cutoff``
+      of any ligand heavy atom (binding-site size)
+    - ``clashes``: CA-atom pairs closer than ``clash_cutoff`` (physical
+      impossibility count)
+    - ``min_dist``: closest CA-ligand approach in Angstroms
+    """
+    assert protein_ca.shape[-1] == 3 and ligand_pos.shape[-1] == 3
+    if len(protein_ca) == 0 or len(ligand_pos) == 0:
+        return {"contacts": 0, "clashes": 0, "min_dist": float("inf")}
+    d = np.linalg.norm(
+        protein_ca[:, None] - ligand_pos[None, :], axis=-1
+    )
+    return {
+        "contacts": int((d.min(axis=1) < contact_cutoff).sum()),
+        "clashes": int((d < clash_cutoff).sum()),
+        "min_dist": float(d.min()),
+    }
+
+
 def ca_lddt(
     prb_ca: np.ndarray,
     ref_ca: np.ndarray,

@@ -160,6 +160,41 @@ def delete_residues(prot, positions):
     )
 
 
+def test_ligand_interface_stats(tmp_path):
+    """sample_ligand.sdf records pair with models by index; contact /
+    clash / min-dist means reflect the generated poses."""
+    from protein_redesign_tpu.chem.mol import (
+        mol_from_smiles,
+        mols_to_sdf_file,
+        update_mol_positions,
+    )
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    samples = [seq_helix(noise=0.0, seed=s) for s in (1, 2)]
+    proteins_to_pdb_file(samples, out_dir / "sample_protein.pdb")
+
+    ca0 = samples[0].atom_pos[0, 1]
+    lig = mol_from_smiles("CCO")  # 3 heavy atoms
+    near = update_mol_positions(
+        lig, np.stack([ca0 + [3.0, 0, 0], ca0 + [4.0, 0, 0],
+                       ca0 + [1.0, 0, 0]]).astype(np.float32)
+    )  # 1.0 A atom clashes with CA0
+    far = update_mol_positions(
+        lig, np.full((3, 3), 500.0, np.float32)
+    )
+    mols_to_sdf_file([near, far], out_dir / "sample_ligand.sdf")
+
+    main(["-i", str(out_dir), "-o", str(tmp_path / "r.json")])
+    row = json.loads((tmp_path / "r.json").read_text())["groups"]["sample"]
+    # near pose: >=1 contact and exactly 1 clash (1.0 A < 2.0 A cutoff);
+    # far pose: none — means are over the two models
+    assert row["lig_contacts_mean"] >= 0.5
+    assert row["lig_clashes_mean"] == 0.5
+    assert row["lig_min_dist_mean"] == pytest.approx((1.0 + 1000) / 2,
+                                                     rel=0.5)
+
+
 def test_gapped_reference_pairs_by_residue_number(tmp_path):
     """Experimental reference PDBs have unresolved loops: CA-RMSD and
     recovery must pair residues by (chain, residue number), not by
