@@ -34,24 +34,43 @@ from operator import itemgetter
 from pathlib import Path
 
 
+import re
 import threading
 
 _claim_lock = threading.Lock()
 _claimed_counts = {}
 
 
+def _safe_dir_name(req_id: str) -> str:
+    """Request ids come from the network: reduce to a single safe path
+    component so an id like "../../../home/user" or "/tmp/evil" cannot
+    direct writes outside --output_dir (pathlib treats an absolute
+    right-hand side as a full replacement)."""
+    name = re.sub(r"[^A-Za-z0-9._-]+", "_", str(req_id))[:100]
+    name = name.strip("._")
+    return name or "request"
+
+
 def _claim_request_dir(output_dir, req_id):
     """Thread-safe unique output directory per request. Distinct ids keep
-    the plain <output_dir>/<id> path (the stdin-mode contract); a REUSED
-    id — e.g. two concurrent TCP clients both omitting "id" (default
-    "request") — gets <id>_2, <id>_3, ... so their files never collide
-    (post-processing deliberately runs outside the device lock)."""
+    the plain <output_dir>/<sanitized-id> path (the stdin-mode
+    contract); a REUSED id — e.g. two concurrent TCP clients both
+    omitting "id" (default "request") — gets <id>_2, <id>_3, ... so
+    their files never collide (post-processing deliberately runs
+    outside the device lock). Directories left by a PREVIOUS server
+    process over the same --output_dir are uniquified the same way
+    (the in-memory counter starts fresh; never silently overwrite)."""
+    base = _safe_dir_name(req_id)
     with _claim_lock:
-        n = _claimed_counts.get(req_id, 0) + 1
-        _claimed_counts[req_id] = n
-    name = req_id if n == 1 else f"{req_id}_{n}"
-    req_dir = Path(output_dir) / name
-    req_dir.mkdir(parents=True, exist_ok=True)
+        n = _claimed_counts.get(base, 0)
+        while True:
+            n += 1
+            name = base if n == 1 else f"{base}_{n}"
+            req_dir = Path(output_dir) / name
+            if not req_dir.exists():
+                break
+        _claimed_counts[base] = n
+        req_dir.mkdir(parents=True, exist_ok=True)
     return req_dir
 
 
@@ -96,10 +115,23 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
     # through the server before opening it to clients if that matters.
     trajectory = int(req.get("trajectory", 0))
 
+    if num_samples < 1:
+        raise ValueError(
+            f"num_samples must be >= 1, got {num_samples}"
+        )
+
     protein = load_protein_arg(req["protein"])
     ligand = parse_ligand_arg(req["ligand"])
     lock = device_lock or contextlib.nullcontext()
-    with lock:
+    # The device lock exists to serialize DEVICE work; the default torch
+    # ESM backend runs on the host CPU, and holding the lock for its
+    # forward would stall another client's sampling dispatch for no
+    # reason. Only the jax backend shares the device.
+    esm_lock = (
+        lock if getattr(embedder, "backend", "torch") == "jax"
+        else contextlib.nullcontext()
+    )
+    with esm_lock:
         residue_esm = embedder.embed_protein(protein)
     # Featurization is pure host numpy — assembled OUTSIDE the lock so a
     # concurrent client's sampling overlaps with this one's host work.
@@ -226,7 +258,6 @@ def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
     fairness-by-request beats batching across clients.
     ``max_requests``/``ready_cb`` exist for tests."""
     import socketserver
-    import threading
 
     device_lock = threading.Lock()
     served = 0

@@ -120,6 +120,19 @@ def sample_ddim_parallel(
     The fixed point (and the tol=0 exactness guarantee) is unchanged.
     """
     cfg = model.cfg
+    if int(window) < 1:
+        raise ValueError(
+            f"window must be >= 1, got {window} (an empty Picard window "
+            "evaluates nothing and would return the init noise)"
+        )
+    if int(ddim_steps) < 1:
+        raise ValueError(f"ddim_steps must be >= 1, got {ddim_steps}")
+    if cfg.seq_reverse != "reference":
+        raise NotImplementedError(
+            "ddim_parallel implements the reference sequence recurrence; "
+            "seq_reverse='ancestral' is only available on the sequential "
+            "samplers (model.sample / model.sample_ddim)"
+        )
     if cfg.seq_process == "absorbing":
         if cfg.reveal_temperature > 0.0 or cfg.reveal_conf_noise > 0.0:
             raise NotImplementedError(

@@ -247,6 +247,27 @@ class TestAbsorbingParallel:
 
 
 class TestRunnerGuards:
+    def test_empty_window_rejected(self, setup):
+        model, params, batch = setup
+        with pytest.raises(ValueError, match="window"):
+            sample_ddim_parallel(
+                model, params, batch, KEY, ddim_steps=4, window=0
+            )
+        with pytest.raises(ValueError, match="ddim_steps"):
+            sample_ddim_parallel(
+                model, params, batch, KEY, ddim_steps=0, window=2
+            )
+
+    def test_ancestral_seq_reverse_rejected(self, setup):
+        from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+        model, params, batch = setup
+        anc = ProteinReDiffModel(model.cfg.replace(seq_reverse="ancestral"))
+        with pytest.raises(NotImplementedError, match="ancestral"):
+            sample_ddim_parallel(
+                anc, params, batch, KEY, ddim_steps=4, window=2
+            )
+
     def test_eta_rejected_with_ddim_parallel(self, setup):
         from protein_redesign_tpu.cli.common import SamplingRunner
 

@@ -49,6 +49,45 @@ def test_serve_jsonl_roundtrip(tiny_ckpt, tmp_path):  # noqa: F811
     assert "error" in broken  # handler survived unparseable JSON
 
 
+def test_request_dir_never_escapes_output_dir(tmp_path):
+    """Request ids come from the network: traversal / absolute ids must
+    be reduced to a safe component under --output_dir."""
+    from protein_redesign_tpu.cli.serve import _claim_request_dir
+
+    for evil in ("../../../etc", "/tmp/evil_abs", "a/../../b", "..", ""):
+        d = _claim_request_dir(tmp_path, evil)
+        assert d.is_dir()
+        assert d.parent == tmp_path, (evil, d)
+
+
+def test_request_dir_uniquified_across_restarts(tmp_path):
+    """Directories left by a previous server process are never silently
+    overwritten: the claim skips existing dirs."""
+    import protein_redesign_tpu.cli.serve as serve_mod
+
+    (tmp_path / "job1").mkdir()  # from a "previous run"
+    serve_mod._claimed_counts.clear()  # fresh process
+    d = serve_mod._claim_request_dir(tmp_path, "job1")
+    assert d.name == "job1_2"
+    d2 = serve_mod._claim_request_dir(tmp_path, "job1")
+    assert d2.name == "job1_3"
+
+
+def test_zero_samples_is_an_error(tmp_path):
+    """num_samples<1 must yield an error result, not a silently-empty
+    success (the guard fires before the runner/embedder are touched)."""
+    from protein_redesign_tpu.cli.serve import handle_line
+
+    result = handle_line(
+        json.dumps({"id": "r", "protein": "ACDE", "ligand": "*",
+                    "num_samples": 0}),
+        runner=None, embedder=None, output_dir=tmp_path,
+        default_mask_prob=0.3,
+    )
+    assert result["id"] == "r" and "error" in result
+    assert "num_samples" in result["error"]
+
+
 def test_warmup_precompiles_buckets(tiny_ckpt, tmp_path):  # noqa: F811
     """warmup_runner compiles the listed buckets so a real request at the
     same bucket does not retrace (first-request latency excludes the
