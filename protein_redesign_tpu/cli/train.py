@@ -26,7 +26,30 @@ from ..utils.platform import apply_platform_override
 apply_platform_override()
 
 
+def _maybe_init_distributed():  # pragma: no cover - needs a real cluster
+    """Multi-host init. MUST run before any backend-touching jax call:
+    ``jax.process_count()`` itself initializes XLA, after which
+    ``jax.distributed.initialize()`` raises — and on clusters where
+    peers are only discoverable THROUGH initialize(), process_count()
+    would still read 1 and a conditional gate would silently train each
+    host independently. Opt in via the standard cluster signals."""
+    import os
+
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    slurm = int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1)
+    ompi = int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1)
+    tpu_hosts = [
+        h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+        if h.strip()
+    ]
+    if coord or slurm > 1 or ompi > 1 or len(tpu_hosts) > 1:
+        jax.distributed.initialize()
+
+
 def main(argv=None):
+    _maybe_init_distributed()
     parser = ArgumentParser()
     from ..config import (
         add_data_args,
@@ -55,10 +78,6 @@ def main(argv=None):
     data_cfg = data_config_from_args(args)
     train_cfg = train_config_from_args(args)
 
-    # Multi-host TPU slices.
-    if jax.process_count() > 1:  # pragma: no cover
-        jax.distributed.initialize()
-
     from ..data.dataset import PDBDataset, load_split_ids
     from ..data.pipeline import batches, prefetch
     from ..models.prdiff import ProteinReDiffModel
@@ -73,6 +92,16 @@ def main(argv=None):
 
     save_dir = Path(train_cfg.save_dir)
     if args.fresh and save_dir.exists():
+        if args.trained_ckpt is not None:
+            ckpt = Path(args.trained_ckpt).resolve()
+            if ckpt == save_dir.resolve() or ckpt.is_relative_to(
+                save_dir.resolve()
+            ):
+                raise SystemExit(
+                    f"--fresh would delete --trained_ckpt "
+                    f"({args.trained_ckpt} is under {save_dir}); move the "
+                    f"checkpoint out or drop --fresh"
+                )
         shutil.rmtree(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(save_dir)
@@ -81,11 +110,21 @@ def main(argv=None):
     if train_cfg.num_devices > 0:
         devices = devices[: train_cfg.num_devices]
     if train_cfg.mesh_shape is None:
-        # Data axis must divide the per-step batch (the reference's DDP has
-        # the same constraint, one sample slice per rank).
-        import math as _math
-
-        d_axis = _math.gcd(data_cfg.batch_size, len(devices))
+        # Data axis must divide the per-step batch (the reference's DDP
+        # has the same constraint, one sample slice per rank): take the
+        # LARGEST divisor of batch_size that fits the device count (gcd
+        # would drop devices — batch_size=5 on 8 devices can use 5).
+        d_axis = max(
+            d for d in range(1, len(devices) + 1)
+            if data_cfg.batch_size % d == 0
+        )
+        if d_axis < len(devices):
+            print(
+                f"warning: data-parallel over {d_axis}/{len(devices)} "
+                f"devices (the data axis must divide "
+                f"batch_size={data_cfg.batch_size}; pass --mesh_shape "
+                f"or adjust --batch_size to use every chip)"
+            )
         devices = devices[:d_axis]
         mesh = make_mesh(devices, (d_axis, 1))
     else:
@@ -106,9 +145,31 @@ def main(argv=None):
     # Multi-host: every host must compile the SAME program per global
     # step, so pin all training batches to one static bucket (each host
     # collates its own epoch stride; per-group bucket choice would
-    # diverge across hosts -> collective mismatch).
+    # diverge across hosts -> collective mismatch). The bucket is the
+    # smallest rung covering the split's largest complex — max(buckets)
+    # would pad EVERY batch to the 2048 rung. The scan reads only the
+    # two size scalars from each cache record and is identical on every
+    # host (shared split, deterministic order).
     n_hosts = jax.process_count()
-    fixed_bucket = max(data_cfg.buckets) if n_hosts > 1 else None
+    fixed_bucket = None
+    if n_hosts > 1:  # pragma: no cover - needs real multi-host
+        largest = 0
+        for pdb_id in train_ids:
+            with np.load(
+                Path(cache_dir) / pdb_id / "complex.npz"
+            ) as z:
+                largest = max(
+                    largest, int(z["num_atoms"]) + int(z["num_residues"])
+                )
+        fitting = [b for b in data_cfg.buckets if b >= largest]
+        if not fitting:
+            raise SystemExit(
+                f"largest training complex has {largest} nodes, above "
+                f"the top bucket {max(data_cfg.buckets)}"
+            )
+        fixed_bucket = min(fitting)
+        print(f"multi-host fixed bucket: {fixed_bucket} "
+              f"(largest complex {largest} nodes)")
 
     # Bootstrap state from the first batch's shapes.
     first = next(batches(
@@ -118,10 +179,15 @@ def main(argv=None):
     sample = {k: v[0] if accum > 1 else v for k, v in first.items()}
     if args.trained_ckpt:
         def target_factory(ckpt_cfg):
-            return make_train_state(
+            # eval_shape: the restore only needs the pytree STRUCTURE
+            # (shapes/dtypes); materializing a real TrainState would run
+            # the full model init on device (a 150-300 s remote compile
+            # on tunneled TPU) and allocate 3x param memory, all thrown
+            # away immediately.
+            return jax.eval_shape(lambda: make_train_state(
                 ProteinReDiffModel(ckpt_cfg.replace(training_mode=True)),
                 train_cfg, key, sample,
-            )
+            ))
 
         state, cfg_loaded = load_checkpoint(
             args.trained_ckpt, target_factory=target_factory
@@ -201,6 +267,9 @@ def main(argv=None):
 
     def _on_signal(signum, frame):
         interrupted["flag"] = True
+        # restore the default handler so a SECOND signal terminates
+        # immediately instead of being swallowed during the final save
+        signal.signal(signum, signal.SIG_DFL)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
@@ -283,6 +352,22 @@ def main(argv=None):
             epoch += 1
             if 0 < train_cfg.max_epochs <= epoch:
                 stop = True
+    if interrupted["flag"]:
+        # Save FIRST, no validation: the cluster's kill-grace window
+        # (SIGTERM -> SIGKILL) may not survive a full val pass — losing
+        # exactly the checkpoint this handler exists to protect.
+        save_checkpoint(manager, state, cfg)
+        manager.wait_until_finished()
+        print(f"interrupted at step {step}; checkpoint saved "
+              f"(final validation skipped)")
+        return
+    if manager.latest_step() == step:
+        # Stopped on a validation boundary: the loop already validated
+        # and saved this step (orbax would silently drop a second save
+        # at the same step, wasting the extra val pass).
+        manager.wait_until_finished()
+        print(f"done at step {step} (checkpoint saved at this step)")
+        return
     val_loss = run_validation(jax.random.fold_in(key, step + 2_000_000_011))
     save_checkpoint(manager, state, cfg, val_loss)
     manager.wait_until_finished()

@@ -24,6 +24,7 @@ from ..parallel.train_step import TrainState
 def make_manager(
     directory: Union[str, Path],
     top_k: int = 3,
+    create: bool = True,
 ) -> ocp.CheckpointManager:
     """CheckpointManager keeping the top-k lowest val_loss plus the latest
     (Lightning's save_top_k=3 + save_last, `train.py:40-45`).
@@ -51,7 +52,7 @@ def make_manager(
             ),
             cm.LatestN(1),
         ]),
-        create=True,
+        create=create,
     )
     return ocp.CheckpointManager(Path(directory).absolute(), options=options)
 
@@ -97,51 +98,64 @@ def load_checkpoint(
     structure, e.g. a fresh ``make_train_state``)."""
     if prefer not in ("latest", "best"):
         raise ValueError(f"prefer must be 'latest' or 'best', got {prefer!r}")
-    manager = make_manager(directory)
-    if step is None:
-        if prefer == "best":
-            step = manager.best_step()
-        if step is None:
-            step = manager.latest_step()
-    if step is None:
+    directory = Path(directory).absolute()
+    if not directory.exists():
+        # Probing a mistyped path must not leave an empty directory tree
+        # behind (create=False below guards the same for subpaths).
         raise FileNotFoundError(f"No checkpoints under {directory}")
-    cfg_restored = manager.restore(
-        step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
-    )
-    cfg_dict = dict(cfg_restored["config"])
-    cfg_dict.update(config_overrides)
-    cfg = ModelConfig(**cfg_dict)
-
-    if target_factory is not None:
-        template = target_factory(cfg)
-        abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, template
+    manager = make_manager(directory, create=False)
+    try:
+        if step is None:
+            if prefer == "best":
+                step = manager.best_step()
+            if step is None:
+                step = manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {directory}")
+        cfg_restored = manager.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
         )
+        cfg_dict = dict(cfg_restored["config"])
+        cfg_dict.update(config_overrides)
+        cfg = ModelConfig(**cfg_dict)
+
+        if target_factory is not None:
+            template = target_factory(cfg)
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, template
+            )
+            restored = manager.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract)
+                ),
+            )
+            return restored["state"], cfg
+
+        # No target: build an abstract tree from the checkpoint's own
+        # metadata with CURRENT-device sharding, so checkpoints written on
+        # one platform (e.g. the TPU chip) restore on another (e.g. the
+        # CPU test mesh) instead of failing on stale saved device names.
+        item_meta = manager.item_metadata(step)["state"]
+        abstract = _abstract_from_metadata(item_meta)
         restored = manager.restore(
             step,
             args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)),
         )
-        return restored["state"], cfg
-
-    # No target: build an abstract tree from the checkpoint's own metadata
-    # with CURRENT-device sharding, so checkpoints written on one platform
-    # (e.g. the TPU chip) restore on another (e.g. the CPU test mesh)
-    # instead of failing on stale saved device names.
-    item_meta = manager.item_metadata(step)["state"]
-    abstract = _abstract_from_metadata(item_meta)
-    restored = manager.restore(
-        step,
-        args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract)),
-    )
-    raw = restored["state"]
-    state = TrainState(
-        step=raw["step"],
-        params=raw["params"],
-        opt_state=raw["opt_state"],
-        ema_params=raw["ema_params"],
-        ema_updates=raw["ema_updates"],
-    ) if isinstance(raw, dict) else raw
-    return state, cfg
+        raw = restored["state"]
+        state = TrainState(
+            step=raw["step"],
+            params=raw["params"],
+            opt_state=raw["opt_state"],
+            ema_params=raw["ema_params"],
+            ema_updates=raw["ema_updates"],
+        ) if isinstance(raw, dict) else raw
+        return state, cfg
+    finally:
+        # This manager exists only for the load; close its background
+        # machinery instead of leaking it alongside the caller's own
+        # save manager.
+        manager.close()
 
 
 def save_params_only(
