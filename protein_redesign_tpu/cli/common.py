@@ -88,18 +88,20 @@ def update_seq(protein: Protein, proba: np.ndarray) -> Protein:
     raising ValueError."""
     tokens = np.argmax(softmax_np(np.asarray(proba)), axis=-1)
     seq = "".join(RESIDUE_TYPES_NEW[i] for i in tokens)
-    stripped = seq.lstrip("X")
-    lo = len(seq) - len(stripped)
-    stripped = stripped.rstrip("X")
-    hi = lo + len(stripped)
-    # The complex-axis prefix (ligand slots, always decoded X) plus any real
-    # terminal X land in [0, lo); map the window onto the residue arrays.
+    # Strip over the RESIDUE portion of the complex axis only. The ligand
+    # slots are residue-masked to exact zeros and thus always decode X,
+    # so in-contract this matches the reference's whole-string strip —
+    # but it cannot frame-shift the window if a caller ever passes
+    # unmasked logits where a ligand slot decodes non-X.
     n_res = len(protein.aatype)
-    res_lo = max(0, lo - (len(seq) - n_res))  # offset into residue arrays
+    res_seq = seq[len(seq) - n_res:] if n_res else ""
+    stripped = res_seq.lstrip("X")
+    res_lo = n_res - len(stripped)
+    stripped = stripped.rstrip("X")
     res_hi = res_lo + len(stripped)
-    if res_hi > n_res or len(stripped) == 0:
+    if len(stripped) == 0:
         res_lo, res_hi = 0, n_res
-        stripped = seq[len(seq) - n_res:] or "X" * n_res
+        stripped = res_seq or "X" * n_res
     aatype = np.array(
         [
             RESIDUE_TYPES.index(s) if s in RESIDUE_TYPES
@@ -146,10 +148,15 @@ def parse_ligands(
     return ligands
 
 
-def mask_sequence_by_percent(seq: str, percentage: float = 0.2) -> str:
+def mask_sequence_by_percent(
+    seq: str, percentage: float = 0.2,
+    rng: Optional[random.Random] = None,
+) -> str:
     """String-space masking (reference
-    `predict_batch_strc_msk_inp.py:158-164`)."""
-    aa_to_replace = random.sample(
+    `predict_batch_strc_msk_inp.py:158-164`). Pass a seeded
+    ``random.Random`` for reproducible masks (the CLIs seed it from
+    --seed; the reference uses the unseeded global RNG)."""
+    aa_to_replace = (rng or random).sample(
         range(len(seq)), int(len(seq) * percentage)
     )
     return "".join(
@@ -158,20 +165,33 @@ def mask_sequence_by_percent(seq: str, percentage: float = 0.2) -> str:
 
 
 def proteins_from_fasta_with_mask(
-    fasta_file: Union[str, Path], mask_percent: float = 0.0
+    fasta_file: Union[str, Path], mask_percent: float = 0.0,
+    rng: Optional[random.Random] = None,
 ) -> Tuple[List[Protein], List[str], List[str]]:
-    """(reference `predict_batch_strc_msk_inp.py:96-112`)"""
-    names, proteins, sequences = [], [], []
+    """(reference `predict_batch_strc_msk_inp.py:96-112`)
+
+    Robustness over the reference's line-per-protein parse: wrapped
+    records (sequence split over multiple lines) are joined, and CRLF
+    line endings are stripped — the reference misaligns names against
+    proteins on wrapped FASTA and crashes on '\\r'. Single-line
+    LF records (its own fixtures) behave identically."""
+    names, raw_seqs = [], []
     with open(fasta_file, "r") as f:
         for line in f:
+            line = line.rstrip("\r\n")
             if line.startswith(">"):
-                names.append(line.lstrip(">").rstrip("\n").replace(" ", "_"))
-            elif line not in ("\n", "\r\n"):
-                sequence = mask_sequence_by_percent(
-                    line.rstrip("\n"), mask_percent
-                )
-                proteins.append(protein_from_sequence(sequence))
-                sequences.append(sequence)
+                names.append(line.lstrip(">").replace(" ", "_"))
+                raw_seqs.append("")
+            elif line.strip():
+                if not raw_seqs:  # headerless leading sequence line
+                    names.append("seq_0")
+                    raw_seqs.append("")
+                raw_seqs[-1] += line.strip()
+    proteins, sequences = [], []
+    for raw in raw_seqs:
+        sequence = mask_sequence_by_percent(raw, mask_percent, rng=rng)
+        proteins.append(protein_from_sequence(sequence))
+        sequences.append(sequence)
     return proteins, names, sequences
 
 
@@ -388,6 +408,12 @@ class SamplingRunner:
         self.ddim_steps = ddim_steps
         if sampler not in ("ddpm", "ddim", "ddim_parallel"):
             raise ValueError(f"Unknown sampler: {sampler}")
+        if sampler == "ddpm" and eta != 0.0:
+            raise ValueError(
+                "--eta only applies to the ddim sampler (the ddpm "
+                "ancestral sampler has its own fixed noise schedule and "
+                "silently ignoring the flag would be misleading)"
+            )
         if sampler == "ddim_parallel" and eta != 0.0:
             raise ValueError(
                 "--eta is only supported by the plain ddim sampler; "
@@ -677,8 +703,14 @@ class SamplingRunner:
                 batch,
                 esm_bf16=jnp.dtype(self.model.cfg.dtype) == jnp.bfloat16,
             )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            batch = self._put_batch(batch)
+            if self.mesh is None:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                # ONE transfer: device_put the host arrays with their
+                # sharding directly (jnp.asarray first would transfer to
+                # the default device and then re-place — 2x traffic, and
+                # on leaky tunneled clients 2x the staging-buffer leak).
+                batch = self._put_batch(batch)
             key, sub = jax.random.split(key)
             out = self._sample_group(
                 self.params, batch, sub, mp, bucket, traj_frames=trajectory

@@ -79,8 +79,10 @@ def main(argv=None):
         cfg.replace(training_mode=False, **sampler_cfg_overrides(args))
     )
 
+    import random as _random
+
     proteins, names, masked_sequences = proteins_from_fasta_with_mask(
-        args.fasta, args.mask_prob
+        args.fasta, args.mask_prob, rng=_random.Random(seed)
     )
     with open(args.output_dir / "masked_sequences.fasta", "w") as f:
         for i, (name, seq) in enumerate(zip(names, masked_sequences)):

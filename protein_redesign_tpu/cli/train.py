@@ -219,7 +219,7 @@ def main(argv=None):
         donate_argnums=(0,),
     )
     eval_step = jax.jit(
-        make_eval_step(model),
+        make_eval_step(model, per_sample=True),
         in_shardings=(state_shardings,
                       {k: NamedSharding(mesh, P("data")) for k in sample},
                       replicated(mesh)),
@@ -245,15 +245,23 @@ def main(argv=None):
         {k: jax.device_put(v, val_sharding) for k, v in wire(vb).items()}
         for vb in batches(val_ds, data_cfg.batch_size, data_cfg.buckets)
     ]
+    # Groups are consecutive, so only the FINAL batch can be padded with
+    # repeated samples (kept for static shapes); count the real rows so
+    # repeats don't double-count in val_loss (best-checkpoint selection
+    # reads this number).
+    val_real_counts = [data_cfg.batch_size] * len(val_batches)
+    if val_batches and len(val_ds) % data_cfg.batch_size:
+        val_real_counts[-1] = len(val_ds) % data_cfg.batch_size
 
     def run_validation(step_key):
         losses = []
         for rep in range(max(1, train_cfg.val_repeats)):
             for i, vb in enumerate(val_batches):
-                losses.append(float(eval_step(
+                per = np.asarray(eval_step(
                     state, vb,
                     jax.random.fold_in(step_key, rep * 100_003 + i),
-                )))
+                ))
+                losses.extend(per[: val_real_counts[i]].tolist())
         return float(np.mean(losses)) if losses else float("inf")
 
     step = int(state.step)

@@ -19,10 +19,11 @@ import numpy as np
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= n; raises if the complex exceeds the ladder."""
-    for b in buckets:
-        if n <= b:
-            return b
+    """Smallest bucket >= n; raises if the complex exceeds the ladder.
+    Robust to an unsorted ladder (first-fit would silently over-pad)."""
+    fitting = [b for b in buckets if n <= b]
+    if fitting:
+        return min(fitting)
     raise ValueError(
         f"Complex with {n} nodes exceeds the largest bucket {max(buckets)}; "
         "extend DataConfig.buckets."

@@ -75,21 +75,44 @@ def prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(transform(item) if transform else item)
+                out = transform(item) if transform else item
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            try:
+                q.put_nowait(sentinel)
+            except queue.Full:
+                pass  # consumer is gone; nothing waits on the sentinel
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Consumer stopped early (break / GeneratorExit): unblock a
+        # worker stuck mid-put so it exits and releases its buffered
+        # (possibly device-resident) batches instead of living forever.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

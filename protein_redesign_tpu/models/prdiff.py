@@ -506,8 +506,13 @@ class ProteinReDiffModel:
     def loss(
         self, params: Any, batch: Batch, key: jax.Array,
         training: bool = True,
+        reduction: str = "mean",
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Scalar training/validation loss (`model.py:528-549`)."""
+        """Scalar training/validation loss (`model.py:528-549`).
+
+        ``reduction="none"`` returns the per-sample [B] vector instead
+        of its mean — validation over padded (sample-repeating) final
+        batches needs it to weight only the real rows."""
         if self.cfg.loss_mode not in ("reference", "per_position"):
             raise ValueError(
                 f"loss_mode must be 'reference' or 'per_position', "
@@ -531,9 +536,12 @@ class ProteinReDiffModel:
             or self.cfg.seq_process == "absorbing"
         ):
             # diffusion_loss already self-normalized each term per sample.
-            loss = jnp.mean(diff_loss)
+            per_sample = diff_loss
         else:
-            loss = jnp.mean(diff_loss / num_nodes)
+            per_sample = diff_loss / num_nodes
+        loss = jnp.mean(per_sample)
+        if reduction == "none":
+            return per_sample, {"loss": loss}
         return loss, {"loss": loss}
 
     def inference_extra_mask(

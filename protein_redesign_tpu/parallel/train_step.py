@@ -153,12 +153,18 @@ def make_train_step(
 
 def make_eval_step(
     model: ProteinReDiffModel,
+    per_sample: bool = False,
 ) -> Callable[[TrainState, Batch, jax.Array], jnp.ndarray]:
     """Validation under EMA weights with a fresh random t
-    (`model.py:226-247`)."""
+    (`model.py:226-247`). ``per_sample`` returns the [B] loss vector so
+    the caller can exclude padding rows (the pipeline repeats samples to
+    keep the final batch's shape static)."""
 
     def eval_step(state: TrainState, batch: Batch, key: jax.Array) -> jnp.ndarray:
-        loss, _ = model.loss(state.ema_params, batch, key, training=True)
+        loss, _ = model.loss(
+            state.ema_params, batch, key, training=True,
+            reduction="none" if per_sample else "mean",
+        )
         return loss
 
     return eval_step

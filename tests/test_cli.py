@@ -125,3 +125,66 @@ class TestBatchCLIs:
         assert (out / "sample_ligand_a_model_0.sdf").exists()
         scores = (out / "sample_tmscores_a.txt").read_text().splitlines()
         assert len(scores) == 2
+
+
+class TestCommonHelpers:
+    def test_fasta_wrapped_and_crlf(self, tmp_path):
+        """Wrapped records are joined and CRLF endings stripped — the
+        reference's line-per-protein parse misaligns names on wrapped
+        FASTA and crashes on '\\r' (robustness fix, docs/PARITY.md)."""
+        from protein_redesign_tpu.cli.common import (
+            proteins_from_fasta_with_mask,
+        )
+
+        fasta = tmp_path / "wrapped.fasta"
+        fasta.write_bytes(
+            b">one two\r\nACDEFGHIKL\r\nMNPQRSTVWY\r\n"
+            b">three\r\nACDE\r\n"
+        )
+        proteins, names, seqs = proteins_from_fasta_with_mask(str(fasta))
+        assert names == ["one_two", "three"]
+        assert seqs == ["ACDEFGHIKLMNPQRSTVWY", "ACDE"]
+        assert len(proteins) == 2 and len(proteins[0]) == 20
+
+    def test_fasta_mask_seeded_reproducible(self, tmp_path):
+        import random
+
+        from protein_redesign_tpu.cli.common import (
+            proteins_from_fasta_with_mask,
+        )
+
+        fasta = tmp_path / "one.fasta"
+        fasta.write_text(">a\nACDEFGHIKLMNPQRSTVWY\n")
+        _, _, s1 = proteins_from_fasta_with_mask(
+            str(fasta), 0.3, rng=random.Random(7)
+        )
+        _, _, s2 = proteins_from_fasta_with_mask(
+            str(fasta), 0.3, rng=random.Random(7)
+        )
+        assert s1 == s2  # same seed -> same masked positions
+        assert s1[0].count("X") == 6  # 20 residues * 0.3
+
+    def test_update_seq_ignores_ligand_slots(self):
+        """A non-X decode in a LIGAND slot must not frame-shift the
+        residue window (in-contract those slots are masked to X; this
+        guards the out-of-contract case)."""
+        import numpy as np
+
+        from protein_redesign_tpu.chem.protein import (
+            protein_from_sequence,
+            protein_to_sequence,
+        )
+        from protein_redesign_tpu.cli.common import update_seq
+
+        protein = protein_from_sequence("ACDEFGHIKL")  # n_res = 10
+        n_lig, n = 5, 15
+        logits = np.zeros((n, 21), np.float32)
+        # ligand slot 2 "decodes" Ala (index 1); residues decode their
+        # own identities
+        logits[2, 1] = 9.0
+        for i, aa in enumerate("ACDEFGHIKL"):
+            from protein_redesign_tpu.chem.protein import RESIDUE_TYPES
+
+            logits[n_lig + i, 1 + RESIDUE_TYPES.index(aa)] = 9.0
+        out = update_seq(protein, logits)
+        assert protein_to_sequence(out) == "ACDEFGHIKL"

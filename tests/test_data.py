@@ -157,6 +157,27 @@ class TestPipeline:
         with pytest.raises(RuntimeError):
             list(it)
 
+    def test_pick_bucket_unsorted_ladder(self):
+        # first-fit on an unsorted ladder would silently over-pad 16x
+        assert pick_bucket(50, (1024, 64, 256)) == 64
+        assert pick_bucket(65, (1024, 64, 256)) == 256
+
+    def test_prefetch_worker_exits_on_early_abandon(self):
+        # A consumer that stops iterating (max_steps / SIGTERM) must not
+        # leave the worker blocked on q.put forever, pinning buffered
+        # (possibly device-resident) batches.
+        import threading
+        import time
+
+        before = threading.active_count()
+        it = prefetch(iter(range(1000)), size=1)
+        assert next(it) == 0
+        it.close()  # what a `break` out of a for-loop triggers
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, "worker thread leaked"
+
 
 class TestEpochSharding:
     """Per-host data sharding (DistributedSampler semantics) for
