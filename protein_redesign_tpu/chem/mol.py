@@ -66,6 +66,8 @@ class Bond:
     order: int = BOND_ORDER_SINGLE
     is_aromatic: bool = False
     stereo: str = "STEREONONE"
+    # SMILES directional marker as written a1->a2: +1 '/', -1 '\', 0 none
+    direction: int = 0
     # Derived during perception:
     is_in_ring: bool = False
     is_conjugated: bool = False
@@ -166,7 +168,40 @@ class Molecule:
         self._assign_implicit_hs()
         self._assign_hybridization()
         self._assign_conjugation()
+        self._perceive_double_bond_stereo()
         return self
+
+    def _perceive_double_bond_stereo(self) -> None:
+        """E/Z from SMILES directional bonds (RDKit's STEREOE/STEREOZ
+        assignment the reference featurizer reads, `features.py:95-103`).
+
+        For a double bond a=b flanked by directional single bonds
+        (x-a) and (b-y), read both directions in x->a / b->y
+        orientation (flipping a marker recorded against that
+        orientation): equal signs = trans (STEREOE), opposite =
+        cis (STEREOZ). F/C=C/F -> E; F/C=C\\F -> Z; C(/F)=C/F -> Z."""
+        adj = self.adjacency()
+
+        def oriented_dir(end: int, toward_end: bool, skip: "Bond") -> int:
+            for bi in adj[end]:
+                nb = self.bonds[bi]
+                if nb is skip or nb.direction == 0:
+                    continue
+                d = nb.direction
+                if toward_end and nb.a2 != end:
+                    d = -d  # recorded end->x; want x->end
+                if not toward_end and nb.a1 != end:
+                    d = -d  # recorded y->end; want end->y
+                return d
+            return 0
+
+        for b in self.bonds:
+            if b.order != BOND_ORDER_DOUBLE or b.is_aromatic:
+                continue
+            da = oriented_dir(b.a1, True, b)
+            db = oriented_dir(b.a2, False, b)
+            if da and db:
+                b.stereo = "STEREOE" if da == db else "STEREOZ"
 
     def _perceive_rings(self) -> None:
         """Mark ring atoms/bonds: a bond is in a ring iff it is not a bridge."""
@@ -265,6 +300,9 @@ class Molecule:
     def _perceive_aromaticity(self) -> None:
         """Heuristic aromaticity: honor explicit flags, then mark planar
         alternating rings (benzene-like) and classic heteroaromatics."""
+        self._lone_pair_donors: set = getattr(
+            self, "_lone_pair_donors", set()
+        )
         # Explicit flags from SMILES lowercase / SDF-MOL2 aromatic bond types.
         for b in self.bonds:
             if b.order == BOND_ORDER_AROMATIC:
@@ -316,6 +354,13 @@ class Molecule:
                         donor = self.atoms[ring[idx]]
                         if donor.atomic_num in (7, 8, 15, 16, 34):
                             aromatic = True
+                            # Record the donor: after the ring bonds
+                            # become 1.5, implicit-H assignment can no
+                            # longer see that its Kekule valence was 2
+                            # (pyrrole N must keep its H; an aromatic-
+                            # input "n" correctly means pyridine-type,
+                            # so only Kekule detection records donors).
+                            self._lone_pair_donors.add(ring[idx])
                         break
             if aromatic:
                 for i in ring:
@@ -333,14 +378,17 @@ class Molecule:
                 atom.num_implicit_hs = 0
                 continue
             bond_sum = sum(self.bonds[bi].value() for bi in self.adjacency()[i])
-            # Aromatic N contributing a lone pair (pyrrole-type, degree 2
-            # with two aromatic bonds) still gets an H; the 1.5-sum rounds
-            # handle it: e.g. pyrrole N: 2*1.5 = 3.0 -> 0 H is wrong, but
-            # SMILES marks it [nH] explicitly; Kekulé inputs sum to 2 -> 1 H.
-            # Aromatic group-16 members (furan O, thiophene S) donate a lone
-            # pair to the ring: their Kekule structure has two SINGLE ring
-            # bonds (valence 2), not the 3 the 1.5-sum would round to.
-            if atom.is_aromatic and atom.atomic_num in (8, 16, 34):
+            # Lone-pair donors use their sigma framework as the valence
+            # sum: group-16 members (furan O, thiophene S) always donate,
+            # and Kekule-detected 5-ring donors (pyrrole/imidazole NH —
+            # recorded by _perceive_aromaticity before the ring bonds
+            # became 1.5) keep their H the same way. Aromatic-input "n"
+            # without [nH] correctly means pyridine-type (0 H), matching
+            # RDKit.
+            if atom.is_aromatic and (
+                atom.atomic_num in (8, 16, 34)
+                or i in getattr(self, "_lone_pair_donors", ())
+            ):
                 bond_sum = self.degree(i)
             else:
                 bond_sum = int(round(bond_sum))
@@ -484,9 +532,15 @@ class Molecule:
                 1 for j in self.neighbors(old) if self.atoms[j].atomic_num == 1
             )
             if n_h:
-                base = a.num_explicit_hs if a.num_explicit_hs is not None else 0
-                # After removal these hydrogens become fixed explicit counts.
-                a.num_explicit_hs = base + n_h + a.num_implicit_hs
+                # After removal these hydrogens become fixed explicit
+                # counts. num_implicit_hs is only added when it was
+                # derived (num_explicit_hs None): perception copies an
+                # explicit count INTO num_implicit_hs, so adding both
+                # would double-count.
+                if a.num_explicit_hs is not None:
+                    a.num_explicit_hs = a.num_explicit_hs + n_h
+                else:
+                    a.num_explicit_hs = n_h + a.num_implicit_hs
             atoms.append(a)
         bonds = [
             dataclasses.replace(b, a1=remap[b.a1], a2=remap[b.a2])
@@ -531,7 +585,12 @@ def mol_from_sdf(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mol
         ln = lines[4 + i]
         x, y, z = float(ln[0:10]), float(ln[10:20]), float(ln[20:30])
         symbol = ln[31:34].strip()
-        atomic_num = ATOMIC_NUM.get(symbol) or ATOMIC_NUM.get(symbol.capitalize())
+        if symbol in ("*", "R", "R#", "Du"):
+            atomic_num = 0  # wildcard/dummy — round-trips the '*' ligand
+        else:
+            atomic_num = ATOMIC_NUM.get(symbol) or ATOMIC_NUM.get(
+                symbol.capitalize()
+            )
         if atomic_num is None:
             raise ValueError(f"Unknown element in SDF: {symbol!r}")
         chg_code = int(ln[36:39]) if len(ln) >= 39 and ln[36:39].strip() else 0
@@ -548,20 +607,26 @@ def mol_from_sdf(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mol
         order = int(ln[6:9])
         bonds.append(Bond(a1, a2, order=order,
                           is_aromatic=(order == BOND_ORDER_AROMATIC)))
-    # M  CHG property lines override atom-block charges.
+    # M  CHG / M  RAD property lines SUPERSEDE the whole atom-block
+    # charge column (CTfile spec: the presence of either invalidates
+    # every legacy charge/radical code, not just the listed atoms).
+    superseded = False
     for ln in lines[4 + n_atoms + n_bonds:]:
-        if ln.startswith("M  CHG"):
+        if ln.startswith("M  CHG") or ln.startswith("M  RAD"):
+            if not superseded:
+                for a in atoms:
+                    a.formal_charge = 0
+                    a.num_radical_electrons = 0
+                superseded = True
             fields = ln.split()
             cnt = int(fields[2])
             for k in range(cnt):
                 idx = int(fields[3 + 2 * k]) - 1
-                atoms[idx].formal_charge = int(fields[4 + 2 * k])
-        elif ln.startswith("M  RAD"):
-            fields = ln.split()
-            cnt = int(fields[2])
-            for k in range(cnt):
-                idx = int(fields[3 + 2 * k]) - 1
-                atoms[idx].num_radical_electrons = int(fields[4 + 2 * k])
+                val = int(fields[4 + 2 * k])
+                if ln.startswith("M  CHG"):
+                    atoms[idx].formal_charge = val
+                else:
+                    atoms[idx].num_radical_electrons = val
         elif ln.startswith("M  END") or ln.startswith("$$$$"):
             break
     return Molecule(atoms, bonds, positions, name).perceive()
@@ -581,6 +646,7 @@ def mol_from_mol2(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mo
     section = None
     name = ""
     atoms: List[Atom] = []
+    sybyls: List[str] = []
     positions: List[Tuple[float, float, float]] = []
     bonds: List[Bond] = []
     mol_lines = 0
@@ -603,12 +669,22 @@ def mol_from_mol2(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mo
             if atomic_num is None:
                 # Dummy/lp atoms: skip silently is dangerous; raise instead.
                 raise ValueError(f"Unknown MOL2 atom type: {sybyl!r}")
+            # MOL2 column 9 is a PARTIAL charge (usually Gasteiger);
+            # rounding it would fabricate formal charges (a carboxylate's
+            # -0.571 oxygens both became -1). Accept it only when it IS a
+            # formal charge (exactly integral, the FORMAL_CHARGES
+            # convention); otherwise derive from the SYBYL type below.
             charge = 0
             if len(fields) >= 9:
                 try:
-                    charge = int(round(float(fields[8])))
+                    c = float(fields[8])
+                    if abs(c - round(c)) < 1e-3:
+                        charge = int(round(c))
                 except ValueError:
                     charge = 0
+            if sybyl == "N.4":  # quaternary ammonium is formally +1
+                charge = max(charge, 1)
+            sybyls.append(sybyl)
             atoms.append(Atom(atomic_num, formal_charge=charge))
             positions.append((x, y, z))
         elif section == "BOND" and s:
@@ -621,6 +697,22 @@ def mol_from_mol2(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mo
                               is_aromatic=(order == BOND_ORDER_AROMATIC)))
     if not atoms:
         raise ValueError("No atoms parsed from MOL2 file.")
+    # Carboxylate O.co2 pairs: the group is formally -1 on ONE oxygen
+    # (RDKit's mol2 reader kekulizes it that way). When the charge
+    # column supplied only partial charges, assign it deterministically:
+    # the single-bonded oxygen, else the later one.
+    co2_by_carbon: Dict[int, List[Tuple[int, int]]] = {}
+    for b in bonds:
+        for o, c in ((b.a1, b.a2), (b.a2, b.a1)):
+            if (o < len(sybyls) and sybyls[o] == "O.co2"
+                    and atoms[c].atomic_num == 6):
+                co2_by_carbon.setdefault(c, []).append((o, b.order))
+    for c, pairs in co2_by_carbon.items():
+        if len(pairs) != 2 or any(atoms[o].formal_charge for o, _ in pairs):
+            continue
+        singles = [o for o, order in pairs if order == 1]
+        target = singles[0] if singles else max(o for o, _ in pairs)
+        atoms[target].formal_charge = -1
     return Molecule(
         atoms, bonds, np.array(positions, dtype=np.float32), name
     ).perceive()

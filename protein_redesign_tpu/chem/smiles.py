@@ -8,12 +8,13 @@ SMILES through ``Chem.MolFromSmiles`` at `generate.py:122` and
 - bracket atoms ``[13CH2+2]`` with isotope, chirality (@/@@), H-count, charge
 - bonds ``- = # : / \\``, branches ``( )``, ring closures ``1..9`` and ``%nn``
 - dots (disconnected fragments stay in one graph, e.g. salts)
-- the wildcard ``*`` (atomic number 0 is not representable; mapped to a
-  carbon-like dummy with atomic_num 6 only when used as the reference's
-  dummy-ligand token — callers should special-case ``"*"`` before parsing)
+- the wildcard ``*`` / ``[*]`` (atomic number 0, as RDKit parses the
+  reference's dummy-ligand token)
 
-Stereo bond directions are parsed but only recorded as STEREONONE/Z/E at
-perception level (sufficient for the featurizer vocabulary).
+Directional bonds ``/`` and ``\\`` are recorded on the Bond and resolved
+to STEREOE/STEREOZ on the flanked double bond during perception
+(`mol.Molecule._perceive_double_bond_stereo`) — the stereo category the
+featurizer vocabulary reads.
 """
 
 from __future__ import annotations
@@ -68,7 +69,9 @@ def parse_smiles(smiles: str) -> Molecule:
         else:
             order = _BOND_ORDERS[bond_char]
             aromatic = order == 4
-        bonds.append(Bond(a1, a2, order=order, is_aromatic=aromatic))
+        direction = {"/": 1, "\\": -1}.get(bond_char, 0)
+        bonds.append(Bond(a1, a2, order=order, is_aromatic=aromatic,
+                          direction=direction))
 
     while i < n:
         c = smiles[i]
@@ -181,21 +184,22 @@ def _parse_bracket_atom(body: str) -> Atom:
             i += 1
         aromatic = True
     else:
+        # Two-letter symbols are exact-case (second letter lowercase), so
+        # the H-count marker (uppercase 'H') can never be swallowed —
+        # [Rh]/[Nh]/[Th] parse as elements, [NH4+] as N + H-count.
         if i + 1 < n and body[i].isupper() and body[i + 1].islower() \
-                and body[i:i + 2] not in ("Hp",) \
-                and ATOMIC_NUM.get(body[i:i + 2]) \
-                and body[i + 1] not in "h@+-":
+                and ATOMIC_NUM.get(body[i:i + 2]):
             symbol = body[i:i + 2]
             i += 2
         elif i < n and body[i].isupper():
             symbol = body[i]
             i += 1
         elif i < n and body[i] == "*":
-            symbol = "C"
+            symbol = None  # wildcard: atomic number 0, as RDKit parses it
             i += 1
         else:
             raise SmilesError(f"Bad bracket atom: [{body}]")
-    atomic_num = ATOMIC_NUM.get(symbol)
+    atomic_num = 0 if symbol is None else ATOMIC_NUM.get(symbol)
     if atomic_num is None:
         raise SmilesError(f"Unknown element in bracket atom: [{body}]")
     # chirality
@@ -207,12 +211,16 @@ def _parse_bracket_atom(body: str) -> Atom:
         else:
             chirality = "CHI_TETRAHEDRAL_CCW"
             i += 1
-        # @TH1 etc. — skip alphanumeric qualifiers
-        while i < n and body[i].isupper() and body[i] in "TH":
-            i += 1
-        while i < n and body[i].isdigit() and chirality != "CHI_UNSPECIFIED" \
-                and body[max(0, i - 1)] in "TH0123456789":
-            i += 1
+        # Named qualifier @TH1/@AL1/@SP1/@TB../@OH.. (rare). A qualifier
+        # is ALWAYS two letters followed by digits — never consume a bare
+        # 'H': [C@@H] keeps its hydrogen (eating it silently dropped the
+        # H-count, degree, and hybridization of every chiral center).
+        for q in ("TH", "AL", "SP", "TB", "OH"):
+            if body[i:i + 2] == q and i + 2 < n and body[i + 2].isdigit():
+                i += 2
+                while i < n and body[i].isdigit():
+                    i += 1
+                break
     # explicit hydrogens
     num_hs = 0
     if i < n and body[i] == "H":
