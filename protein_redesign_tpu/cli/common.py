@@ -288,6 +288,8 @@ def add_sampler_args(parser) -> None:
         ("use_pallas_outer", "fused OuterLinear"),
         ("use_pallas_fused_gated", "fully-fused gated attention "
                                    "(projections+gating in-kernel)"),
+        ("use_pallas_bwd", "flash-style Pallas attention BACKWARD "
+                           "(training-path kernel enablement)"),
     ):
         parser.add_argument(f"--{flag}", action="store_true",
                             help=f"opt-in {what} Pallas kernel "
@@ -309,7 +311,8 @@ def sampler_cfg_overrides(args) -> Dict:
     # store_true kernel toggles: only override when the user set them, so
     # a checkpoint config's own kernel fields survive the load.
     for flag in ("use_pallas", "use_pallas_trimul", "use_pallas_transition",
-                 "use_pallas_outer", "use_pallas_fused_gated"):
+                 "use_pallas_outer", "use_pallas_fused_gated",
+                 "use_pallas_bwd"):
         if getattr(args, flag):
             overrides[flag] = True
     return overrides

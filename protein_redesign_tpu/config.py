@@ -83,14 +83,29 @@ class ModelConfig:
     #                                  (ops/pallas_outer.py; never
     #                                  materializes the [N,N,2*single_dim]
     #                                  concat features)
+    use_pallas_bwd: bool = False     # differentiate the rows-attention
+    #                                  kernel through a flash-style Pallas
+    #                                  BACKWARD (ops/pallas_attention.
+    #                                  _rows_attention_bwd) instead of the
+    #                                  einsum-reference VJP, and let the
+    #                                  auto plan select the kernel for
+    #                                  TRAINING too (narrow-head,
+    #                                  384 <= N < 2048) — without it the
+    #                                  backward re-materializes the
+    #                                  [rows,H,N,N] logits in HBM and the
+    #                                  kernel's forward win washes out.
+    #                                  Opt-in until measured end-to-end on
+    #                                  real hardware.
     use_pallas_fused_gated: bool = False  # when the attention kernel path
     #                                  is selected (use_pallas / auto plan),
     #                                  run the FULLY-fused gated row
     #                                  attention (LN + projections + softmax
     #                                  + gating + out-projection in one
     #                                  kernel) instead of the measured rows
-    #                                  kernel. Opt-in until measured on
-    #                                  real hardware end-to-end.
+    #                                  kernel. Measured end-to-end: LOSES
+    #                                  (0.74-0.86x vs the rows kernel at
+    #                                  N=384..768 — BASELINE.md fused
+    #                                  aux-kernel sweep); stays opt-in.
     sequence_parallel: bool = False  # shard the pair tensor's first complex
     #                                  axis over the mesh 'model' axis inside
     #                                  the Denoiser (GSPMD inserts the

@@ -52,6 +52,7 @@ class TriangleAttention(nn.Module):
     fused_gated: bool = False
     fast_softmax: bool = False
     attn_chunk: int = 0
+    kernel_bwd: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -66,6 +67,7 @@ class TriangleAttention(nn.Module):
             self.head_dim, self.num_heads, use_pallas=self.use_pallas,
             fused_gated=self.fused_gated,
             fast_softmax=self.fast_softmax, attn_chunk=self.attn_chunk,
+            kernel_bwd=self.kernel_bwd,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(pair, mask_2d)
         if self.mode == "ending":
@@ -307,6 +309,7 @@ class FoldingBlock(nn.Module):
     use_pallas_outer: bool = False
     use_pallas_fused_gated: bool = False
     attn_chunk: int = 0
+    kernel_bwd: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -353,6 +356,7 @@ class FoldingBlock(nn.Module):
             fused_gated=self.use_pallas_fused_gated,
             fast_softmax=self.fast_softmax,
             attn_chunk=self.attn_chunk,
+            kernel_bwd=self.kernel_bwd,
             name="pair_attn_starting", **kw,
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
@@ -361,6 +365,7 @@ class FoldingBlock(nn.Module):
             fused_gated=self.use_pallas_fused_gated,
             fast_softmax=self.fast_softmax,
             attn_chunk=self.attn_chunk,
+            kernel_bwd=self.kernel_bwd,
             name="pair_attn_ending", **kw,
         )(pair, mask_2d)
         pair = pair + TransitionMLP(
@@ -384,9 +389,11 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
 
 # Beyond this the auto plan stops trusting the fused kernel: the ladder
 # tops out at 1024 and the kernel is measured there (323 ms/step, 1.83x
-# over chunked XLA — BASELINE.md long-context table); at N >= 2048 the
-# K-chunked variant would engage but has no on-chip timing yet, so the
-# auto plan falls back to query-chunked attention instead.
+# over chunked XLA — BASELINE.md long-context table); at N = 2048 the
+# K-chunked variant FAILS to compile on the real chip (remote
+# tpu_compile_helper exit 1 — BASELINE.md 2048 row), so the auto plan
+# falls back to query-chunked attention (chunk 128, the only config
+# that compiles there; chunk 256 also fails).
 PALLAS_AUTO_MAX_N = 2048
 # From this size up, the unchunked XLA lowering stops being viable
 # (~3.6 GB bf16 triangle logits at 768; fails to compile at 1024), so
@@ -434,8 +441,17 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     if cfg.pallas_auto_min_n <= 0:
         return False, 0
     inference = not cfg.training_mode and not cfg.sequence_parallel
+    # Training joins the kernel regime only with the flash-style Pallas
+    # backward opted in (cfg.use_pallas_bwd): without it the custom-vjp
+    # backward re-materializes the [rows, H, N, N] logits via the einsum
+    # reference and the forward win washes out.
+    trainable = (
+        cfg.training_mode
+        and cfg.use_pallas_bwd
+        and not cfg.sequence_parallel
+    )
     if (
-        inference
+        (inference or trainable)
         and cfg.head_dim < 32
         and cfg.pallas_auto_min_n <= n < PALLAS_AUTO_MAX_N
     ):
@@ -507,6 +523,7 @@ class Denoiser(nn.Module):
                     cfg.use_pallas_fused_gated and fused_ok
                 ),
                 attn_chunk=attn_chunk,
+                kernel_bwd=cfg.use_pallas_bwd and fused_ok,
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)

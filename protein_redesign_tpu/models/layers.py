@@ -283,6 +283,7 @@ def attention_core(
     use_pallas: bool,
     fast_softmax: bool = False,
     attn_chunk: int = 0,
+    kernel_bwd: bool = False,
 ) -> jnp.ndarray:
     """Row-flatten leading dims and dispatch to the Pallas fused-attention
     kernel (ops/pallas_attention.py) or the einsum fallback. With
@@ -317,7 +318,8 @@ def attention_core(
         ).reshape((R, H, N, N))
     interpret = jax.default_backend() == "cpu"
     out = gated_attention_core(
-        qf, kf, vf, maskf, biasf, scale, use_pallas, interpret, fast_softmax
+        qf, kf, vf, maskf, biasf, scale, use_pallas, interpret,
+        fast_softmax, kernel_bwd,
     )
     return out.reshape(lead + (N, H, C))
 
@@ -339,6 +341,9 @@ class GatedAttention(nn.Module):
     #                            cfg.use_pallas_fused_gated)
     fast_softmax: bool = False
     attn_chunk: int = 0
+    kernel_bwd: bool = False  # with use_pallas: flash-style Pallas
+    #                           backward for the no-bias rows case
+    #                           (training enablement; cfg.use_pallas_bwd)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -414,6 +419,7 @@ class GatedAttention(nn.Module):
             query, key, value, mask, attn_bias,
             scale=1.0 / math.sqrt(C), use_pallas=self.use_pallas,
             fast_softmax=self.fast_softmax, attn_chunk=self.attn_chunk,
+            kernel_bwd=self.kernel_bwd,
         ).astype(self.dtype)
         out = gate * out
         out = out.reshape(out.shape[:-2] + (H * C,))

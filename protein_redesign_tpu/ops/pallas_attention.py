@@ -231,6 +231,95 @@ def _rows_attention(qt, kt, vt, mask, interpret):
     return out
 
 
+def _make_rowhead_bwd_kernel(RB: int):
+    """Flash-style backward of the full-key rows kernel: one (row-block,
+    head) program recomputes this block's probs in VMEM and emits
+    dq/dk/dv directly — the einsum-reference VJP instead materializes
+    the [R, H, N, N] probs AND their cotangent in HBM, which is why
+    training previously kept the XLA path (resolve_attention_plan).
+
+    Gradient semantics match jax.vjp of `_attention_reference` exactly:
+    - dv = P^T dO (fully-masked rows contribute their uniform probs,
+      as the reference's constant-NEG_INF softmax does);
+    - dS is zeroed at masked key columns (autodiff's `where` filter) —
+      for partially-masked rows probs already underflow to 0 there, but
+      a FULLY-masked row has uniform probs, and without the filter its
+      dq/dk would be spuriously nonzero."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+               dq_ref, dk_ref, dv_ref):
+        for b in range(RB):
+            mask = mask_ref[b, 0]  # [N]
+            q = q_ref[b, 0]        # [N, C], pre-scaled
+            k = k_ref[b, 0]
+            v = v_ref[b, 0]
+            g = g_ref[b, 0]        # dO [N, C]
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            logits = jnp.where(mask[None, :] < 0.5, NEG_INF, logits)
+            probs = jax.nn.softmax(logits, axis=-1)      # [N, N] f32
+            pv = probs.astype(v.dtype)
+            dv_ref[b, 0] = jnp.dot(
+                pv.T, g, preferred_element_type=jnp.float32
+            ).astype(dv_ref.dtype)
+            dp = jnp.dot(
+                g, v.T, preferred_element_type=jnp.float32
+            )                                            # [N, N]
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            ds = jnp.where(mask[None, :] < 0.5, 0.0, ds)
+            dsd = ds.astype(q.dtype)
+            dq_ref[b, 0] = jnp.dot(
+                dsd, k, preferred_element_type=jnp.float32
+            ).astype(dq_ref.dtype)
+            dk_ref[b, 0] = jnp.dot(
+                dsd.T, q, preferred_element_type=jnp.float32
+            ).astype(dk_ref.dtype)
+
+    return kernel
+
+
+def _rows_attention_bwd(qt, kt, vt, mask, gt, interpret):
+    """Backward pallas_call for `_rows_attention` (full-key rows only;
+    N >= ROWS_KCHUNK_MIN_N keeps the einsum VJP — see fused_attention's
+    `kernel_bwd` gate). Returns (dqt, dkt, dvt) in [R, H, N, C] layout,
+    dqt w.r.t. the PRE-SCALED q."""
+    R, H, N, C = qt.shape
+    # Four live [N, N] f32 intermediates per unrolled row (logits/probs
+    # reuse aside: budget conservatively) — pick the largest row block
+    # that stays within ~64 MB so the 100 MB grant also covers grid
+    # double-buffering of the six [RB, N, C] operands.
+    budget = 64 * 1024 * 1024
+    RB = 1
+    for cand in (8, 4, 2):
+        if R % cand == 0 and cand * 4 * N * N * 4 <= budget:
+            RB = cand
+            break
+    grid = (R // RB, H)
+    spec = pl.BlockSpec(
+        (RB, 1, N, C), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    mspec = pl.BlockSpec(
+        (RB, 1, N), lambda i, h: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    shp = jax.ShapeDtypeStruct((R, H, N, C), qt.dtype)
+    dq, dk, dv = pl.pallas_call(
+        _make_rowhead_bwd_kernel(RB),
+        grid=grid,
+        in_specs=[spec, spec, spec, mspec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * R * H * N * N * C,
+            bytes_accessed=16 * R * N * H * C,
+            transcendentals=R * H * N * N,
+        ),
+    )(qt, kt, vt, mask[:, None, :], gt)
+    return dq, dk, dv
+
+
 def _make_fused_gated_kernel(RB: int, H: int, cdt):
     """Fully-fused gated row attention: one program = RB rows, each row
     LN -> per-head QKV/gate projections -> masked softmax -> gating ->
@@ -431,7 +520,7 @@ def _attention_reference(q, k, v, mask, bias, scale, fast_softmax=False):
     return out.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_attention(
     q: jnp.ndarray,            # [R, N, H, C]
     k: jnp.ndarray,            # [R, N, H, C]
@@ -440,7 +529,14 @@ def fused_attention(
     bias: Optional[jnp.ndarray],   # [R, H, N, N] or None
     scale: float = 1.0,
     interpret: bool = False,
+    kernel_bwd: bool = False,
 ) -> jnp.ndarray:
+    """``kernel_bwd``: differentiate the no-bias masked rows case through
+    the flash-style Pallas backward kernel instead of the einsum VJP —
+    the training-path enablement (cfg.use_pallas_bwd). The bias'd case
+    (single attention with pair bias) keeps the einsum VJP either way:
+    its dbias output is itself [R, H, N, N], so there is nothing to
+    save by avoiding the materialization."""
     return _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
 
 
@@ -511,13 +607,35 @@ def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
     return jnp.swapaxes(out, 1, 2)  # [R, N, H, C]
 
 
-def _fwd(q, k, v, mask, bias, scale, interpret):
+def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):
     out = _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
     return out, (q, k, v, mask, bias)
 
 
-def _bwd(scale, interpret, residuals, g):
+def _bwd(scale, interpret, kernel_bwd, residuals, g):
     q, k, v, mask, bias = residuals
+
+    if (
+        kernel_bwd
+        and bias is None
+        and mask is not None
+        and q.shape[-3] < ROWS_KCHUNK_MIN_N
+    ):
+        # Flash-style backward in VMEM (same rows-kernel regime as the
+        # forward; beyond ROWS_KCHUNK_MIN_N the per-row [N, N] blocks no
+        # longer fit and training uses chunked attention anyway).
+        qt = jnp.swapaxes(q, 1, 2) * scale
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        gt = jnp.swapaxes(g, 1, 2)
+        dqt, dkt, dvt = _rows_attention_bwd(qt, kt, vt, mask, gt, interpret)
+        return (
+            jnp.swapaxes(dqt, 1, 2) * scale,  # d(q)/d(qt) chain: qt = q*scale
+            jnp.swapaxes(dkt, 1, 2),
+            jnp.swapaxes(dvt, 1, 2),
+            None,
+            None,
+        )
 
     def ref_fn(q, k, v, bias):
         return _attention_reference(q, k, v, mask, bias, scale)
@@ -545,6 +663,7 @@ def gated_attention_core(
     use_pallas: bool,
     interpret: bool = False,
     fast_softmax: bool = False,
+    kernel_bwd: bool = False,
 ) -> jnp.ndarray:
     """Dispatch between the Pallas kernel and the einsum fallback.
 
@@ -552,5 +671,7 @@ def gated_attention_core(
     bias [R, H, N, N]. Output [R, N, H, C].
     """
     if use_pallas:
-        return fused_attention(q, k, v, mask, bias, scale, interpret)
+        return fused_attention(
+            q, k, v, mask, bias, scale, interpret, kernel_bwd
+        )
     return _attention_reference(q, k, v, mask, bias, scale, fast_softmax)

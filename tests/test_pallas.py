@@ -88,6 +88,38 @@ class TestModelWithPallas:
         )
 
 
+class TestModelTrainGradsWithKernelBwd:
+    def test_loss_grads_match_xla(self):
+        """Whole-model training gradients with the kernel + flash
+        backward (use_pallas + use_pallas_bwd) vs the plain XLA path —
+        the end-to-end correctness proof for `--use_pallas_bwd`
+        training."""
+        from __graft_entry__ import _make_batch
+
+        batch_np = _make_batch(4, 8, 16, esm_dim=16)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        base = {**TINY, "training_mode": True}
+        m_plain = ProteinReDiffModel(ModelConfig(**base))
+        m_kern = ProteinReDiffModel(ModelConfig(
+            **{**base, "use_pallas": True, "use_pallas_bwd": True}
+        ))
+        params = m_plain.init_params(jax.random.PRNGKey(0), batch)
+        key = jax.random.PRNGKey(7)
+
+        def loss_fn(model):
+            return lambda p: model.loss(p, batch, key)[0]
+
+        g_plain = jax.grad(loss_fn(m_plain))(params)
+        g_kern = jax.grad(loss_fn(m_kern))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_plain),
+            jax.tree_util.tree_leaves(g_kern),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3
+            )
+
+
 class TestKChunkedRowsKernel:
     """Online-softmax K-chunked rows kernel (VMEM O(N*KC) at any N —
     the full-key variant's [N,N] logits fail to compile at N=1024)."""
@@ -122,6 +154,78 @@ class TestKChunkedRowsKernel:
         )
 
 
+class TestRowsKernelBackward:
+    """Flash-style Pallas backward for the no-bias rows case
+    (kernel_bwd=True, cfg.use_pallas_bwd): gradients must match the
+    einsum-reference VJP, including the autodiff `where`-filter
+    semantics at fully-masked rows."""
+
+    def _grads(self, q, k, v, mask, kernel_bwd):
+        # cos() makes the cotangent non-constant, catching transpose and
+        # scale-chain mistakes an all-ones cotangent would mask.
+        def f(q, k, v):
+            out = fused_attention(
+                q, k, v, mask, None, 0.35, True, kernel_bwd
+            )
+            return jnp.sum(jnp.cos(out))
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    def test_grads_match_einsum_vjp(self):
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        g_kern = self._grads(q, k, v, mask, True)
+        g_ref = self._grads(q, k, v, mask, False)
+        for a, b in zip(g_kern, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+    def test_fully_masked_row_grads(self):
+        """A fully-masked row: uniform probs still feed dv (reference
+        semantics) but dq/dk must be exactly zero for that row (the
+        autodiff `where` filter)."""
+        q, k, v, mask, _ = rand_qkv(R=2, N=16, H=1, C=8)
+        mask = mask.at[0].set(0.0)
+        g_kern = self._grads(q, k, v, mask, True)
+        g_ref = self._grads(q, k, v, mask, False)
+        for a, b in zip(g_kern, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+        np.testing.assert_array_equal(np.asarray(g_kern[0][0]), 0.0)
+        np.testing.assert_array_equal(np.asarray(g_kern[1][0]), 0.0)
+
+    def test_module_grads_match(self):
+        """GatedAttention (triangle-attention shape) with
+        use_pallas + kernel_bwd vs the XLA path: parameter gradients."""
+        from protein_redesign_tpu.models.layers import GatedAttention
+
+        rng = np.random.RandomState(11)
+        B, N, D = 2, 16, 12
+        x = jnp.asarray(rng.randn(B, N, N, D), jnp.float32)
+        mask = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
+        mask2d = mask[:, :, None] * mask[:, None, :]
+        ref_mod = GatedAttention(8, 2, use_pallas=False, dtype=jnp.float32)
+        pal_mod = GatedAttention(
+            8, 2, use_pallas=True, kernel_bwd=True, dtype=jnp.float32
+        )
+        params = ref_mod.init(jax.random.PRNGKey(0), x, mask2d)["params"]
+
+        def loss(mod):
+            return lambda p: jnp.sum(
+                jnp.square(mod.apply({"params": p}, x, mask2d))
+            )
+
+        g_ref = jax.grad(loss(ref_mod))(params)
+        g_pal = jax.grad(loss(pal_mod))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pal)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3
+            )
+
+
 class TestAutoPallasPolicy:
     """resolve_use_pallas: auto kernel selection at long-context inference
     (BASELINE.md long-context table: 2.05x over XLA at N=768)."""
@@ -151,6 +255,20 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             cfg.replace(training_mode=True), 768
         ) == (False, 128)
+        # ... unless the flash-style Pallas backward is opted in
+        # (use_pallas_bwd): training then joins the kernel regime at the
+        # same narrow-head 384..2048 window.
+        train_bwd = cfg.replace(training_mode=True, use_pallas_bwd=True)
+        assert resolve_attention_plan(train_bwd, 256) == (False, 0)
+        assert resolve_attention_plan(train_bwd, 384) == (True, 0)
+        assert resolve_attention_plan(train_bwd, 1024) == (True, 0)
+        assert resolve_attention_plan(train_bwd, 2048) == (False, 128)
+        assert resolve_attention_plan(
+            train_bwd.replace(head_dim=64), 512
+        ) == (False, 0)
+        assert resolve_attention_plan(
+            train_bwd.replace(sequence_parallel=True), 512
+        ) == (False, 0)
         # GSPMD-sharded pair axis cannot repartition the kernel.
         assert resolve_attention_plan(
             cfg.replace(sequence_parallel=True), 768
