@@ -348,6 +348,13 @@ def main(argv=None):
                            esm_dim=cfg.esm_dim,
                            require=args.require_esm,
                            backend=args.esm_backend)
+    # Resolve the ESM backend ONCE at startup (weight load — or, offline,
+    # the zeros fallback after the import/load attempt): measured ~39 s
+    # on the first live request otherwise (BASELINE.md serving table).
+    from ..chem.protein import protein_from_sequence
+
+    print("[serve] resolving ESM backend...", file=sys.stderr, flush=True)
+    embedder.embed_protein(protein_from_sequence("A"))
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     # ONE runner for the whole process: jit caches one program per padding

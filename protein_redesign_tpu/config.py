@@ -83,19 +83,23 @@ class ModelConfig:
     #                                  (ops/pallas_outer.py; never
     #                                  materializes the [N,N,2*single_dim]
     #                                  concat features)
-    use_pallas_bwd: bool = False     # differentiate the rows-attention
+    use_pallas_bwd: bool = True      # differentiate the rows-attention
     #                                  kernel through a flash-style Pallas
     #                                  BACKWARD (ops/pallas_attention.
     #                                  _rows_attention_bwd) instead of the
     #                                  einsum-reference VJP, and let the
     #                                  auto plan select the kernel for
     #                                  TRAINING too (narrow-head,
-    #                                  384 <= N < 2048) — without it the
-    #                                  backward re-materializes the
-    #                                  [rows,H,N,N] logits in HBM and the
-    #                                  kernel's forward win washes out.
-    #                                  Opt-in until measured end-to-end on
-    #                                  real hardware.
+    #                                  384 <= N < 768; chunked attention
+    #                                  keeps the 768+ rungs until the
+    #                                  kernel is measured there). Measured
+    #                                  train-step wins on v5e (B=1,
+    #                                  BASELINE.md): 1.21x at N=384,
+    #                                  1.48x at N=512 over XLA — the
+    #                                  einsum-VJP variant was a net LOSS
+    #                                  (0.89x/0.98x), which is why
+    #                                  training previously kept XLA.
+    #                                  Opt out with --no-use_pallas_bwd.
     use_pallas_fused_gated: bool = False  # when the attention kernel path
     #                                  is selected (use_pallas / auto plan),
     #                                  run the FULLY-fused gated row

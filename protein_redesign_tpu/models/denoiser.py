@@ -420,12 +420,14 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
       16 MB budget starving it). The win is format-bound-XLA-specific:
       at head_dim 64 (the recommended new-training layout) XLA's own
       lowering is efficient and the kernel LOSES (16.3 vs 22.9 ms at
-      N=384) — wide-head configs keep XLA/chunked. Training keeps
-      XLA/chunked too (the kernel's custom-vjp backward recomputes via
-      the einsum reference, re-materializing those logits; NOTE the
-      guard keys on cfg.training_mode — an exotic caller differentiating
-      an inference-mode model at these sizes would hit that backward),
-      as does sequence-parallel (GSPMD cannot repartition the kernel).
+      N=384) — wide-head configs keep XLA/chunked. TRAINING at
+      narrow-head 384 <= n < 768 also uses the kernel by default, via
+      the flash-style Pallas backward (cfg.use_pallas_bwd; 1.21x at
+      N=384, 1.48x at N=512 over the XLA train step — NOTE an exotic
+      caller differentiating an inference-mode model gets the einsum-VJP
+      backward instead, which re-materializes the logits).
+      Sequence-parallel keeps XLA/chunked (GSPMD cannot repartition the
+      kernel).
     - long-context training / sequence-parallel: query-chunked attention
       (chunk 128) from N=768 up — per-chunk remat bounds the backward.
     - everything else: plain XLA while the unchunked triangle logits
@@ -441,14 +443,19 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     if cfg.pallas_auto_min_n <= 0:
         return False, 0
     inference = not cfg.training_mode and not cfg.sequence_parallel
-    # Training joins the kernel regime only with the flash-style Pallas
-    # backward opted in (cfg.use_pallas_bwd): without it the custom-vjp
-    # backward re-materializes the [rows, H, N, N] logits via the einsum
-    # reference and the forward win washes out.
+    # Training joins the kernel regime through the flash-style Pallas
+    # backward (cfg.use_pallas_bwd, DEFAULT ON — measured 1.21x at N=384
+    # / 1.48x at N=512 over the XLA train step, BASELINE.md): without it
+    # the custom-vjp backward re-materializes the [rows, H, N, N] logits
+    # via the einsum reference and the forward win washes out (measured
+    # 0.89x/0.98x). Scoped to n < LONGCTX_CHUNK_MIN_N: the 768+ training
+    # rungs keep the known-good chunked path until the kernel backward
+    # is compile-proven and measured there (docs/ROADMAP.md).
     trainable = (
         cfg.training_mode
         and cfg.use_pallas_bwd
         and not cfg.sequence_parallel
+        and n < LONGCTX_CHUNK_MIN_N
     )
     if (
         (inference or trainable)

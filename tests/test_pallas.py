@@ -246,28 +246,33 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(cfg, 1024) == (True, 0)
         # Beyond the ladder/measurements (>=2048): chunked fallback.
         assert resolve_attention_plan(cfg, 2048) == (False, 128)
-        # Training: plain XLA below 768 (unchunked fits), chunked from
-        # there up (per-chunk remat); never the kernel (its custom-vjp
-        # backward re-materializes the logits).
+        # Training DEFAULT (use_pallas_bwd on): the kernel with the
+        # flash-style Pallas backward at narrow-head 384..767 (measured
+        # 1.21x/1.48x train step, BASELINE.md); chunked attention keeps
+        # the 768+ rungs (kernel backward unmeasured there); plain XLA
+        # below 384.
+        train_cfg = cfg.replace(training_mode=True)
+        assert resolve_attention_plan(train_cfg, 256) == (False, 0)
+        assert resolve_attention_plan(train_cfg, 384) == (True, 0)
+        assert resolve_attention_plan(train_cfg, 512) == (True, 0)
+        assert resolve_attention_plan(train_cfg, 768) == (False, 128)
+        assert resolve_attention_plan(train_cfg, 1024) == (False, 128)
+        assert resolve_attention_plan(train_cfg, 2048) == (False, 128)
+        # Opt-out restores the round-1 behavior: plain XLA below 768
+        # (unchunked fits), chunked from there up (per-chunk remat) —
+        # the einsum-VJP backward re-materializes the logits, so the
+        # kernel is never auto-selected for training without the flash
+        # backward.
+        train_nok = train_cfg.replace(use_pallas_bwd=False)
+        assert resolve_attention_plan(train_nok, 512) == (False, 0)
+        assert resolve_attention_plan(train_nok, 768) == (False, 128)
+        # Wide heads / sequence-parallel keep their non-kernel plans in
+        # training too.
         assert resolve_attention_plan(
-            cfg.replace(training_mode=True), 512
+            train_cfg.replace(head_dim=64), 512
         ) == (False, 0)
         assert resolve_attention_plan(
-            cfg.replace(training_mode=True), 768
-        ) == (False, 128)
-        # ... unless the flash-style Pallas backward is opted in
-        # (use_pallas_bwd): training then joins the kernel regime at the
-        # same narrow-head 384..2048 window.
-        train_bwd = cfg.replace(training_mode=True, use_pallas_bwd=True)
-        assert resolve_attention_plan(train_bwd, 256) == (False, 0)
-        assert resolve_attention_plan(train_bwd, 384) == (True, 0)
-        assert resolve_attention_plan(train_bwd, 1024) == (True, 0)
-        assert resolve_attention_plan(train_bwd, 2048) == (False, 128)
-        assert resolve_attention_plan(
-            train_bwd.replace(head_dim=64), 512
-        ) == (False, 0)
-        assert resolve_attention_plan(
-            train_bwd.replace(sequence_parallel=True), 512
+            train_cfg.replace(sequence_parallel=True), 512
         ) == (False, 0)
         # GSPMD-sharded pair axis cannot repartition the kernel.
         assert resolve_attention_plan(
