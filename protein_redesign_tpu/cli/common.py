@@ -377,20 +377,12 @@ class SamplingRunner:
         sampling across chips (the reference's DDP-predict,
         `predict_batch_strc_msk_inp.py:209-216`, the XLA way). batch_size
         should then be a multiple of the data-axis size."""
-        if mesh is not None and not model.cfg.use_pallas:
-            # Data-parallel sampling shards the batch over 'data'; GSPMD
-            # cannot repartition the Pallas kernel (the same reason
-            # resolve_attention_plan excludes sequence_parallel), so keep
-            # mesh inference on the XLA/chunked paths: raising the
-            # threshold to the plan's own ceiling disables ONLY the
-            # kernel branch while preserving the chunked fallback at the
-            # long-context rungs. Explicit --use_pallas still wins for
-            # users who shard differently.
-            from ..models.denoiser import PALLAS_AUTO_MAX_N
-
-            model = ProteinReDiffModel(
-                model.cfg.replace(pallas_auto_min_n=PALLAS_AUTO_MAX_N)
-            )
+        # Mesh data-parallel sampling keeps the kernel paths: every
+        # attention kernel is wrapped in custom_partitioning with a
+        # rows-axis sharding rule (ops/pallas_attention.py "GSPMD"
+        # section), so a 'data'-sharded batch simply runs the kernel on
+        # each device's local row shard. (A round-2 interim guard forced
+        # mesh inference onto the XLA/chunked paths before that existed.)
         self.model = model
         if buckets is None:
             from ..config import DataConfig

@@ -131,15 +131,12 @@ def main(argv=None):
         mesh = make_mesh(devices, train_cfg.mesh_shape)
     print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
 
-    if mesh.size > 1 and not cfg.use_pallas:
-        # GSPMD cannot repartition a pallas_call (the same guard
-        # SamplingRunner applies for mesh inference): multi-device
-        # training keeps the XLA/chunked attention paths by disabling
-        # the flash-backward kernel's auto selection. Single-device
-        # training keeps it (measured 1.21x/1.48x at buckets 384/512,
-        # BASELINE.md); explicit --use_pallas still wins.
-        cfg = cfg.replace(use_pallas_bwd=False)
-
+    # Multi-device meshes keep the kernel paths too: the attention
+    # kernels (fwd + flash bwd) are custom_partitioning-wrapped with a
+    # rows-axis sharding rule (ops/pallas_attention.py "GSPMD" section),
+    # so the 'data'-sharded batch runs each device's row shard through
+    # its own kernel call — verified sharded-vs-unsharded exact on the
+    # 8-device mesh (tests/test_pallas.py::TestShardedKernels).
     model = ProteinReDiffModel(cfg)
     cache_dir = data_cfg.resolved_cache_dir()
     train_ids = load_split_ids(data_cfg.data_dir, "train")

@@ -26,6 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -(2.0**15)  # the reference's padding fill (`modules.py:220`)
@@ -171,7 +172,7 @@ def _make_rowhead_kchunk_kernel(RB: int, KC: int, NK: int):
     return kernel
 
 
-def _rows_attention(qt, kt, vt, mask, interpret):
+def _rows_attention_impl(qt, kt, vt, mask, interpret):
     """No-bias masked attention via the row-blocked kernel.
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
@@ -277,7 +278,7 @@ def _make_rowhead_bwd_kernel(RB: int):
     return kernel
 
 
-def _rows_attention_bwd(qt, kt, vt, mask, gt, interpret):
+def _rows_attention_bwd_impl(qt, kt, vt, mask, gt, interpret):
     """Backward pallas_call for `_rows_attention` (full-key rows only;
     N >= ROWS_KCHUNK_MIN_N keeps the einsum VJP — see fused_attention's
     `kernel_bwd` gate). Returns (dqt, dkt, dvt) in [R, H, N, C] layout,
@@ -318,6 +319,84 @@ def _rows_attention_bwd(qt, kt, vt, mask, gt, interpret):
         ),
     )(qt, kt, vt, mask[:, None, :], gt)
     return dq, dk, dv
+
+
+# --------------------------------------------------------------- GSPMD
+# The attention kernels are embarrassingly parallel over their leading
+# rows axis (R = B*N for triangle attention, R = B for single/SP
+# attention): under a 'data'-sharded mesh each device can simply run the
+# kernel on its local row shard. GSPMD cannot repartition a bare
+# pallas_call, so every kernel entry point is wrapped in
+# jax.experimental.custom_partitioning with an einsum-style sharding
+# rule that shards ONLY the rows factor — this is what lets mesh
+# data-parallel sampling (SamplingRunner(mesh=...)) and mesh training
+# keep the measured-fastest kernel paths instead of falling back to
+# XLA. The partition callback pins every operand/result to a
+# leading-dim-only sharding, so a stray proposal to shard N/H/C (which
+# the full-key kernels cannot honor) is resharded away by GSPMD instead
+# of producing wrong numerics. Verified sharded-vs-unsharded bit-exact
+# on an 8-device mesh (tests/test_pallas.py::TestShardedKernels).
+
+def _lead_only(mesh, sharding):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = getattr(sharding, "spec", None)
+    lead = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(mesh, PartitionSpec(lead))
+
+
+def _rows_partition(interpret, mesh, arg_shapes, result_shape):
+    args_sh = tuple(_lead_only(mesh, s.sharding) for s in arg_shapes)
+    out_sh = _lead_only(mesh, arg_shapes[0].sharding)
+
+    def impl(qt, kt, vt, mask):
+        return _rows_attention_impl(qt, kt, vt, mask, interpret)
+
+    return mesh, impl, out_sh, args_sh
+
+
+def _rows_infer(interpret, mesh, arg_shapes, shape):
+    return _lead_only(mesh, arg_shapes[0].sharding)
+
+
+_rows_attention = functools.partial(custom_partitioning, static_argnums=(4,))(
+    _rows_attention_impl
+)
+_rows_attention.def_partition(
+    partition=_rows_partition,
+    infer_sharding_from_operands=_rows_infer,
+    # Distinct query (m) / key (n) factors: the kernel needs the FULL key
+    # range per row, so nothing but r may shard.
+    sharding_rule="r h m c, r h n c, r h n c, r n -> r h m c",
+)
+
+
+def _rows_bwd_partition(interpret, mesh, arg_shapes, result_shape):
+    args_sh = tuple(_lead_only(mesh, s.sharding) for s in arg_shapes)
+    lead = _lead_only(mesh, arg_shapes[0].sharding)
+
+    def impl(qt, kt, vt, mask, gt):
+        return _rows_attention_bwd_impl(qt, kt, vt, mask, gt, interpret)
+
+    return mesh, impl, (lead, lead, lead), args_sh
+
+
+def _rows_bwd_infer(interpret, mesh, arg_shapes, shape):
+    lead = _lead_only(mesh, arg_shapes[0].sharding)
+    return (lead, lead, lead)
+
+
+_rows_attention_bwd = functools.partial(
+    custom_partitioning, static_argnums=(5,)
+)(_rows_attention_bwd_impl)
+_rows_attention_bwd.def_partition(
+    partition=_rows_bwd_partition,
+    infer_sharding_from_operands=_rows_bwd_infer,
+    sharding_rule=(
+        "r h m c, r h n c, r h n c, r n, r h m c "
+        "-> r h m c, r h n c, r h n c"
+    ),
+)
 
 
 def _make_fused_gated_kernel(RB: int, H: int, cdt):
@@ -541,8 +620,6 @@ def fused_attention(
 
 
 def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
-    R, N, H, C = q.shape
-    TQ = _pick_tile(N)
     # [R, H, N, C] layout for row/head-major blocking.
     qt = jnp.swapaxes(q * scale, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
@@ -550,7 +627,21 @@ def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
     if bias is None and mask is not None:
         # Triangle-attention shape (R = B*N rows): row-blocked kernel.
         out = _rows_attention(qt, kt, vt, mask, interpret)
-        return jnp.swapaxes(out, 1, 2)
+    elif mask is not None:
+        out = _tiled_attention_mb(qt, kt, vt, mask, bias, interpret)
+    elif bias is not None:
+        out = _tiled_attention_b(qt, kt, vt, bias, interpret)
+    else:
+        out = _tiled_attention_nb(qt, kt, vt, interpret)
+    return jnp.swapaxes(out, 1, 2)  # [R, N, H, C]
+
+
+def _tiled_attention_impl(qt, kt, vt, mask, bias, interpret):
+    """(row, head, q-tile)-grid kernel for the bias'd cases
+    (single/SP attention). qt/kt/vt [R, H, N, C] (q pre-scaled);
+    mask [R, N] or None; bias [R, H, N, N] or None."""
+    R, H, N, C = qt.shape
+    TQ = _pick_tile(N)
     grid = (R, H, N // TQ)
     in_specs = [
         pl.BlockSpec((1, 1, TQ, C), lambda r, h, i: (r, h, i, 0),
@@ -596,7 +687,7 @@ def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
             (1, 1, TQ, C), lambda r, h, i: (r, h, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((R, H, N, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, H, N, C), qt.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * R * H * N * N * C,
@@ -604,7 +695,55 @@ def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
             transcendentals=R * H * N * N,
         ),
     )(*args)
-    return jnp.swapaxes(out, 1, 2)  # [R, N, H, C]
+    return out  # [R, H, N, C]
+
+
+def _tiled_partition(n_args, interpret, mesh, arg_shapes, result_shape):
+    args_sh = tuple(_lead_only(mesh, s.sharding) for s in arg_shapes)
+    out_sh = _lead_only(mesh, arg_shapes[0].sharding)
+
+    def impl(*ops):
+        qt, kt, vt = ops[:3]
+        mask = ops[3] if n_args == 5 else None
+        bias = ops[-1] if n_args >= 4 else None
+        return _tiled_attention_impl(qt, kt, vt, mask, bias, interpret)
+
+    return mesh, impl, out_sh, args_sh
+
+
+def _tiled_infer(interpret, mesh, arg_shapes, shape):
+    return _lead_only(mesh, arg_shapes[0].sharding)
+
+
+_tiled_attention_mb = functools.partial(
+    custom_partitioning, static_argnums=(5,)
+)(lambda qt, kt, vt, mask, bias, interpret: _tiled_attention_impl(
+    qt, kt, vt, mask, bias, interpret))
+_tiled_attention_mb.def_partition(
+    partition=functools.partial(_tiled_partition, 5),
+    infer_sharding_from_operands=_tiled_infer,
+    sharding_rule="r h m c, r h n c, r h n c, r n, r h m n -> r h m c",
+)
+
+_tiled_attention_b = functools.partial(
+    custom_partitioning, static_argnums=(4,)
+)(lambda qt, kt, vt, bias, interpret: _tiled_attention_impl(
+    qt, kt, vt, None, bias, interpret))
+_tiled_attention_b.def_partition(
+    partition=functools.partial(_tiled_partition, 4),
+    infer_sharding_from_operands=_tiled_infer,
+    sharding_rule="r h m c, r h n c, r h n c, r h m n -> r h m c",
+)
+
+_tiled_attention_nb = functools.partial(
+    custom_partitioning, static_argnums=(3,)
+)(lambda qt, kt, vt, interpret: _tiled_attention_impl(
+    qt, kt, vt, None, None, interpret))
+_tiled_attention_nb.def_partition(
+    partition=functools.partial(_tiled_partition, 3),
+    infer_sharding_from_operands=_tiled_infer,
+    sharding_rule="r h m c, r h n c, r h n c -> r h m c",
+)
 
 
 def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):

@@ -107,6 +107,35 @@ def test_mesh_sampling_matches_single_device():
         np.testing.assert_allclose(l1, l2, rtol=0, atol=1e-5)
 
 
+def test_mesh_sampling_with_kernel_matches_single_device():
+    """Mesh DP sampling on the Pallas attention kernel path: the
+    custom_partitioning rows rule shards the kernel over each device's
+    batch slice (round 2 — previously mesh inference was forced onto
+    the XLA paths). Same key, same results as the unsharded kernel."""
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+    model, params, data = _tiny_runner_inputs()
+    model = ProteinReDiffModel(model.cfg.replace(use_pallas=True))
+    datas = [data] * 8
+    key = jax.random.PRNGKey(7)
+
+    single = SamplingRunner(
+        model, params, buckets=(16,), batch_size=8, mask_prob=0.3
+    )
+    res_single = single.run(datas, key)
+
+    mesh = make_mesh(jax.devices(), (8, 1))
+    sharded = SamplingRunner(
+        model, params, buckets=(16,), batch_size=8, mask_prob=0.3, mesh=mesh
+    )
+    res_mesh = sharded.run(datas, key)
+
+    for (p1, l1), (p2, l2) in zip(res_single, res_mesh):
+        np.testing.assert_allclose(p1, p2, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(l1, l2, rtol=0, atol=1e-5)
+
+
 def test_mesh_segmented_ddim_with_trajectory():
     """Segmented DDIM + trajectory capture compose with data-parallel
     mesh sampling: explicit segments=2 on an 8-device mesh matches the
