@@ -176,13 +176,18 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
     """No-bias masked attention via the row-blocked kernel.
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
+    import os
+
     R, H, N, C = qt.shape
     kc = 0
     if N >= ROWS_KCHUNK_MIN_N:
         # Largest chunk divisor <= KCHUNK; fall back to the full-key
         # kernel only for pathological N no power-of-two tile divides
         # (buckets are multiples of 128, so this always finds one).
-        for cand in (KCHUNK, KCHUNK // 2, KCHUNK // 4, KCHUNK // 8):
+        # PRD_KCHUNK overrides the chunk target (benchmark sweeps).
+        kc_target = int(os.environ.get("PRD_KCHUNK", KCHUNK))
+        for cand in (kc_target, kc_target // 2, kc_target // 4,
+                     kc_target // 8):
             if cand > 0 and N % cand == 0:
                 kc = cand
                 break
@@ -191,7 +196,12 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
     # carries ([N,1] m/s pad to [N,128] lanes + the [N,C] accumulator);
     # at RB=8 and N>=1024 those plus grid double-buffering blow the
     # scoped-VMEM budget (compile fails at any grid > (1,1)) — cap RB.
-    rb_cands = (2, 1) if kchunked else (8, 4, 2, 1)
+    # PRD_KCHUNK_RB caps the K-chunked row block (benchmark sweeps).
+    if kchunked:
+        rb_cap = int(os.environ.get("PRD_KCHUNK_RB", 2))
+        rb_cands = tuple(c for c in (2, 1) if c <= rb_cap)
+    else:
+        rb_cands = (8, 4, 2, 1)
     RB = 1
     for cand in rb_cands:
         if R % cand == 0:
