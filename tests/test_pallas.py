@@ -153,6 +153,21 @@ class TestKChunkedRowsKernel:
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
 
+    def test_env_knob_overrides(self, monkeypatch):
+        """PRD_KCHUNK / PRD_KCHUNK_RB (on-chip sweep knobs) override the
+        chunk target and row-block cap without changing the numerics."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setenv("PRD_KCHUNK", "16")
+        monkeypatch.setenv("PRD_KCHUNK_RB", "1")
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
 
 class TestRowsKernelBackward:
     """Flash-style Pallas backward for the no-bias rows case
