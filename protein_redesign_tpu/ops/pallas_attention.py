@@ -172,6 +172,100 @@ def _make_rowhead_kchunk_kernel(RB: int, KC: int, NK: int):
     return kernel
 
 
+def _make_rowhead_kchunk_grid_kernel(RB: int, NK: int):
+    """K-chunked online softmax with the key axis as a GRID dimension:
+    grid (R//RB, H, NK), carries (running max / denominator / output
+    accumulator) in VMEM scratch persisted across the sequential k-chunk
+    steps. Versus the fori_loop variant (`_make_rowhead_kchunk_kernel`)
+    this lets Mosaic double-buffer the K/V chunk DMAs across grid steps
+    (the fori_loop body's `pl.ds` loads serialize against compute) and
+    keeps the kernel body small — the fori_loop variant FAILED to
+    compile at N=2048 on v5e (remote tpu_compile_helper exit 1,
+    BASELINE.md long-context table); this is the staged replacement,
+    selected by PRD_KCHUNK_GRID=1 for the on-chip sweep."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+               m_scr, s_scr, acc_scr):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            s_scr[...] = jnp.zeros(s_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        for b in range(RB):
+            q = q_ref[b, 0]          # [N, C]
+            k = k_ref[b, 0]          # [KC, C]
+            v = v_ref[b, 0]          # [KC, C]
+            mk = mask_ref[b, 0]      # [KC]
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            logits = jnp.where(mk[None, :] < 0.5, NEG_INF, logits)
+            m_run = m_scr[b]         # [N, 1]
+            s_run = s_scr[b]
+            acc = acc_scr[b]         # [N, C]
+            m_new = jnp.maximum(
+                m_run, jnp.max(logits, axis=-1, keepdims=True)
+            )
+            scale = jnp.exp(m_run - m_new)
+            p = jnp.exp(logits - m_new)              # [N, KC]
+            m_scr[b] = m_new
+            s_scr[b] = s_run * scale + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[b] = acc * scale + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+        @pl.when(j == pl.num_programs(2) - 1)
+        def _finalize():
+            for b in range(RB):
+                out_ref[b, 0] = (
+                    acc_scr[b] / s_scr[b]
+                ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB, interpret):
+    """pallas_call wrapper for the grid-variant K-chunked kernel."""
+    R, H, N, C = qt.shape
+    NK = N // kc
+    grid = (R // RB, H, NK)
+    out = pl.pallas_call(
+        _make_rowhead_kchunk_grid_kernel(RB, NK),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB, 1, N, C), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, kc, C), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, kc, C), lambda i, h, j: (i, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, kc), lambda i, h, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (RB, 1, N, C), lambda i, h, j: (i, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, H, N, C), qt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((RB, N, 1), jnp.float32),
+            pltpu.VMEM((RB, N, 1), jnp.float32),
+            pltpu.VMEM((RB, N, C), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * N * N * C,
+            bytes_accessed=8 * R * N * H * C,
+            transcendentals=R * H * N * N,
+        ),
+    )(qt, kt, vt, mask[:, None, :])
+    return out
+
+
 def _rows_attention_impl(qt, kt, vt, mask, interpret):
     """No-bias masked attention via the row-blocked kernel.
 
@@ -207,6 +301,9 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
         if R % cand == 0:
             RB = cand
             break
+    if kchunked and os.environ.get("PRD_KCHUNK_GRID", "") == "1":
+        return _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB,
+                                           interpret)
     grid = (R // RB, H)
     spec_qkv = pl.BlockSpec(
         (RB, 1, N, C), lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM

@@ -153,6 +153,24 @@ class TestKChunkedRowsKernel:
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
 
+    def test_grid_variant_matches_reference(self, monkeypatch):
+        """PRD_KCHUNK_GRID=1 selects the grid-dimension K-chunked kernel
+        (carries in VMEM scratch across a sequential k-chunk grid axis);
+        numerics must match, including fully-masked rows."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "KCHUNK", 8)
+        monkeypatch.setenv("PRD_KCHUNK_GRID", "1")
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        mask = mask.at[1].set(0.0)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
     def test_env_knob_overrides(self, monkeypatch):
         """PRD_KCHUNK / PRD_KCHUNK_RB (on-chip sweep knobs) override the
         chunk target and row-block cap without changing the numerics."""
