@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -129,6 +130,15 @@ def _make_rowhead_kernel(RB: int):
 ROWS_KCHUNK_MIN_N = 2048
 KCHUNK = 256
 
+# Benchmark-sweep knobs, read ONCE at import: they are part of no jit
+# cache key, so a trace-time read would silently ignore changes made
+# after the first compile for a given shape. They are process-lifetime
+# settings — run each sweep point in a fresh process (docs/SCALING.md).
+_KCHUNK_ENV = os.environ.get("PRD_KCHUNK")
+_KCHUNK_TARGET = int(_KCHUNK_ENV) if _KCHUNK_ENV else KCHUNK
+_KCHUNK_RB_CAP = int(os.environ.get("PRD_KCHUNK_RB", 2))
+_KCHUNK_GRID = os.environ.get("PRD_KCHUNK_GRID", "1") != "0"
+
 
 def _make_rowhead_kchunk_kernel(RB: int, KC: int, NK: int):
     """RB rows x ONE head per program, keys visited in NK chunks of KC
@@ -172,7 +182,7 @@ def _make_rowhead_kchunk_kernel(RB: int, KC: int, NK: int):
     return kernel
 
 
-def _make_rowhead_kchunk_grid_kernel(RB: int, NK: int):
+def _make_rowhead_kchunk_grid_kernel(RB: int):
     """K-chunked online softmax with the key axis as a GRID dimension:
     grid (R//RB, H, NK), carries (running max / denominator / output
     accumulator) in VMEM scratch persisted across the sequential k-chunk
@@ -181,8 +191,8 @@ def _make_rowhead_kchunk_grid_kernel(RB: int, NK: int):
     (the fori_loop body's `pl.ds` loads serialize against compute) and
     keeps the kernel body small — the fori_loop variant FAILED to
     compile at N=2048 on v5e (remote tpu_compile_helper exit 1,
-    BASELINE.md long-context table); this is the staged replacement,
-    selected by PRD_KCHUNK_GRID=1 for the on-chip sweep."""
+    BASELINE.md long-context table); this is the default K-chunked
+    variant (opt out with PRD_KCHUNK_GRID=0)."""
 
     def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
                m_scr, s_scr, acc_scr):
@@ -231,7 +241,7 @@ def _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB, interpret):
     NK = N // kc
     grid = (R // RB, H, NK)
     out = pl.pallas_call(
-        _make_rowhead_kchunk_grid_kernel(RB, NK),
+        _make_rowhead_kchunk_grid_kernel(RB),
         grid=grid,
         in_specs=[
             pl.BlockSpec((RB, 1, N, C), lambda i, h, j: (i, h, 0, 0),
@@ -255,6 +265,9 @@ def _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB, interpret):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
+            # i and h are embarrassingly parallel; only the k-chunk axis
+            # carries state (the VMEM scratch accumulators).
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -270,21 +283,26 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
     """No-bias masked attention via the row-blocked kernel.
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
-    import os
-
     R, H, N, C = qt.shape
     kc = 0
     if N >= ROWS_KCHUNK_MIN_N:
-        # Largest chunk divisor <= KCHUNK; fall back to the full-key
-        # kernel only for pathological N no power-of-two tile divides
-        # (buckets are multiples of 128, so this always finds one).
+        # Largest chunk divisor <= the target; buckets are multiples of
+        # 128 so the ladder always finds one for auto-selected shapes.
         # PRD_KCHUNK overrides the chunk target (benchmark sweeps).
-        kc_target = int(os.environ.get("PRD_KCHUNK", KCHUNK))
-        for cand in (kc_target, kc_target // 2, kc_target // 4,
-                     kc_target // 8):
+        for cand in (_KCHUNK_TARGET, _KCHUNK_TARGET // 2,
+                     _KCHUNK_TARGET // 4, _KCHUNK_TARGET // 8):
             if cand > 0 and N % cand == 0:
                 kc = cand
                 break
+        if kc == 0 and _KCHUNK_ENV:
+            # An explicit sweep value whose ladder has no divisor of N
+            # would silently select the full-key kernel — exactly the
+            # configuration documented to fail TPU compilation at this
+            # size. Fail loudly instead of with a remote compile error.
+            raise ValueError(
+                f"PRD_KCHUNK={_KCHUNK_ENV}: no chunk in its /2/4/8 "
+                f"ladder divides N={N}; pick a divisor of N"
+            )
     kchunked = kc > 0
     # The K-chunked kernel's unrolled rows each hold live online-softmax
     # carries ([N,1] m/s pad to [N,128] lanes + the [N,C] accumulator);
@@ -292,8 +310,7 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
     # scoped-VMEM budget (compile fails at any grid > (1,1)) — cap RB.
     # PRD_KCHUNK_RB caps the K-chunked row block (benchmark sweeps).
     if kchunked:
-        rb_cap = int(os.environ.get("PRD_KCHUNK_RB", 2))
-        rb_cands = tuple(c for c in (2, 1) if c <= rb_cap)
+        rb_cands = tuple(c for c in (2, 1) if c <= _KCHUNK_RB_CAP)
     else:
         rb_cands = (8, 4, 2, 1)
     RB = 1
@@ -301,7 +318,7 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
         if R % cand == 0:
             RB = cand
             break
-    if kchunked and os.environ.get("PRD_KCHUNK_GRID", "") == "1":
+    if kchunked and _KCHUNK_GRID:
         return _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB,
                                            interpret)
     grid = (R // RB, H)

@@ -128,7 +128,8 @@ class TestKChunkedRowsKernel:
         import protein_redesign_tpu.ops.pallas_attention as pa
 
         monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
-        monkeypatch.setattr(pa, "KCHUNK", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", False)  # fori variant
         q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
         ref = _attention_reference(q, k, v, mask, None, scale=0.35)
         out = fused_attention(q, k, v, mask, None, 0.35, True)
@@ -143,7 +144,8 @@ class TestKChunkedRowsKernel:
         import protein_redesign_tpu.ops.pallas_attention as pa
 
         monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
-        monkeypatch.setattr(pa, "KCHUNK", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", False)
         q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
         mask = mask.at[0].set(0.0)
         ref = _attention_reference(q, k, v, mask, None, scale=0.35)
@@ -154,14 +156,14 @@ class TestKChunkedRowsKernel:
         )
 
     def test_grid_variant_matches_reference(self, monkeypatch):
-        """PRD_KCHUNK_GRID=1 selects the grid-dimension K-chunked kernel
-        (carries in VMEM scratch across a sequential k-chunk grid axis);
-        numerics must match, including fully-masked rows."""
+        """The grid-dimension K-chunked kernel (the default; carries in
+        VMEM scratch across a sequential k-chunk grid axis): numerics
+        must match, including fully-masked rows."""
         import protein_redesign_tpu.ops.pallas_attention as pa
 
         monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
-        monkeypatch.setattr(pa, "KCHUNK", 8)
-        monkeypatch.setenv("PRD_KCHUNK_GRID", "1")
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", True)
         q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
         mask = mask.at[1].set(0.0)
         ref = _attention_reference(q, k, v, mask, None, scale=0.35)
@@ -171,20 +173,38 @@ class TestKChunkedRowsKernel:
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
 
-    def test_env_knob_overrides(self, monkeypatch):
-        """PRD_KCHUNK / PRD_KCHUNK_RB (on-chip sweep knobs) override the
-        chunk target and row-block cap without changing the numerics."""
+    def test_knob_overrides(self, monkeypatch):
+        """The sweep knobs (PRD_KCHUNK / PRD_KCHUNK_RB, read ONCE at
+        import into module constants — process-lifetime settings)
+        override the chunk target and row-block cap without changing
+        the numerics."""
         import protein_redesign_tpu.ops.pallas_attention as pa
 
         monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
-        monkeypatch.setenv("PRD_KCHUNK", "16")
-        monkeypatch.setenv("PRD_KCHUNK_RB", "1")
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_RB_CAP", 1)
         q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
         ref = _attention_reference(q, k, v, mask, None, scale=0.35)
         out = fused_attention(q, k, v, mask, None, 0.35, True)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
+
+    def test_explicit_bad_chunk_raises(self, monkeypatch):
+        """An explicit PRD_KCHUNK whose /2/4/8 ladder has no divisor of
+        N must raise, not silently fall back to the full-key kernel
+        (the configuration documented to fail TPU compilation at
+        N >= 2048)."""
+        import pytest
+
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_ENV", "48")
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 48)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        with pytest.raises(ValueError, match="PRD_KCHUNK"):
+            fused_attention(q, k, v, mask, None, 0.35, True)
 
 
 class TestRowsKernelBackward:
