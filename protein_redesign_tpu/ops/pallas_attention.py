@@ -126,8 +126,9 @@ def _make_rowhead_kernel(RB: int):
 # 16 MB logits x2 x RB=8 rows); switch to the K-chunked online-softmax
 # variant whose VMEM is O(N * KCHUNK) at any N. Below it the full-key
 # kernel is faster (N=1024: 323 vs 415 ms/step denoiser forward —
-# BASELINE.md long-context table).
-ROWS_KCHUNK_MIN_N = 2048
+# BASELINE.md long-context table). PRD_KCHUNK_MIN_N lowers the switch
+# point (benchmark sweeps; process-lifetime, like the other knobs).
+ROWS_KCHUNK_MIN_N = int(os.environ.get("PRD_KCHUNK_MIN_N", 2048))
 KCHUNK = 256
 
 # Benchmark-sweep knobs, read ONCE at import: they are part of no jit
@@ -878,12 +879,28 @@ def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):
 def _bwd(scale, interpret, kernel_bwd, residuals, g):
     q, k, v, mask, bias = residuals
 
-    if (
-        kernel_bwd
-        and bias is None
+    flashable = (
+        bias is None
         and mask is not None
         and q.shape[-3] < ROWS_KCHUNK_MIN_N
-    ):
+    )
+    if flashable and not kernel_bwd:
+        # A caller differentiating an inference-mode model (kernel fwd,
+        # kernel_bwd off) silently pays the einsum VJP, which
+        # re-materializes the [R, H, N, N] logits in HBM — measured as a
+        # net train-step LOSS vs plain XLA (BASELINE.md flash-backward
+        # table). Trace-time warning: fires once per compile.
+        import warnings
+
+        warnings.warn(
+            "fused_attention: differentiating through the Pallas forward "
+            "with the einsum-VJP backward (re-materializes the attention "
+            "logits in HBM). For training, set use_pallas_bwd=True "
+            "(cfg.training_mode selects it by default) or use the XLA "
+            "attention path.",
+            stacklevel=2,
+        )
+    if kernel_bwd and flashable:
         # Flash-style backward in VMEM (same rows-kernel regime as the
         # forward; beyond ROWS_KCHUNK_MIN_N the per-row [N, N] blocks no
         # longer fit and training uses chunked attention anyway).

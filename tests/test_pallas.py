@@ -248,6 +248,26 @@ class TestRowsKernelBackward:
         np.testing.assert_array_equal(np.asarray(g_kern[0][0]), 0.0)
         np.testing.assert_array_equal(np.asarray(g_kern[1][0]), 0.0)
 
+    def test_einsum_vjp_fallback_warns(self):
+        """Differentiating the kernel forward WITHOUT the flash backward
+        (an inference-mode model under jax.grad) re-materializes the
+        logits via the einsum VJP — it must warn, not stay silent
+        (VERDICT r2 weak #3)."""
+        import warnings
+
+        q, k, v, mask, _ = rand_qkv(R=2, N=16, H=1, C=8)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            self._grads(q, k, v, mask, False)
+        assert any("einsum-VJP backward" in str(w.message) for w in rec)
+        # The flash-backward path must NOT warn.
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            self._grads(q, k, v, mask, True)
+        assert not any(
+            "einsum-VJP backward" in str(w.message) for w in rec
+        )
+
     def test_module_grads_match(self):
         """GatedAttention (triangle-attention shape) with
         use_pallas + kernel_bwd vs the XLA path: parameter gradients."""
