@@ -75,7 +75,7 @@ def _claim_request_dir(output_dir, req_id):
 
 
 def handle_request(req, runner, embedder, output_dir, default_mask_prob,
-                   device_lock=None):
+                   device_lock=None, max_nodes=None):
     """One request through the PRE-COMPILED runner. The runner is built
     once at startup and reused — mask_prob is a traced argument of its
     jitted sampler, so varying it per request does not retrace (with
@@ -122,6 +122,20 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
 
     protein = load_protein_arg(req["protein"])
     ligand = parse_ligand_arg(req["ligand"])
+    # Size guard BEFORE any device (or ESM) work: a request above the
+    # ceiling would otherwise trigger a fresh-bucket compile (150-300 s
+    # on remote-compile TPU setups) UNDER the device lock, stalling
+    # every other client. Checked here, it costs two host-side counts
+    # and returns an error line instead (extends the reference's
+    # generate.py:125-128 size warning into a real guard).
+    n_nodes = ligand.num_atoms() + len(protein.aatype)
+    if max_nodes is not None and n_nodes > max_nodes:
+        raise ValueError(
+            f"request has {n_nodes} nodes (ligand atoms + residues), over "
+            f"the server ceiling of {max_nodes}; raise --max_nodes (or "
+            f"pass --max_nodes 0 for no limit) and warm the matching "
+            f"bucket at startup"
+        )
     lock = device_lock or contextlib.nullcontext()
     # The device lock exists to serialize DEVICE work; the default torch
     # ESM backend runs on the host CPU, and holding the lock for its
@@ -231,7 +245,7 @@ def warmup_runner(runner, buckets, esm_dim) -> None:
 
 
 def handle_line(line, runner, embedder, output_dir, default_mask_prob,
-                device_lock=None):
+                device_lock=None, max_nodes=None):
     """One JSONL request line -> one result dict; never raises (bad
     requests become {"id", "error"} results so the server keeps going)."""
     req = None
@@ -239,7 +253,7 @@ def handle_line(line, runner, embedder, output_dir, default_mask_prob,
         req = json.loads(line)
         return handle_request(
             req, runner, embedder, output_dir, default_mask_prob,
-            device_lock=device_lock,
+            device_lock=device_lock, max_nodes=max_nodes,
         )
     except Exception as e:
         req_id = req.get("id", "?") if isinstance(req, dict) else "?"
@@ -247,7 +261,8 @@ def handle_line(line, runner, embedder, output_dir, default_mask_prob,
 
 
 def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
-              host="127.0.0.1", max_requests=None, ready_cb=None):
+              host="127.0.0.1", max_requests=None, ready_cb=None,
+              max_nodes=None):
     """JSONL-over-TCP server: each client connection streams request
     lines and receives one JSON result line per request. Concurrent
     connections are accepted (threaded); device work (ESM embed +
@@ -273,6 +288,7 @@ def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
                 result = handle_line(
                     line, runner, embedder, output_dir,
                     default_mask_prob, device_lock=device_lock,
+                    max_nodes=max_nodes,
                 )
                 self.wfile.write((json.dumps(result) + "\n").encode())
                 self.wfile.flush()
@@ -319,6 +335,13 @@ def main(argv=None):
                         help="comma-separated bucket sizes to precompile "
                              "at startup (e.g. 192,256) so first requests "
                              "skip the 150-300 s remote compile")
+    parser.add_argument("--max_nodes", type=int, default=None,
+                        help="reject requests above this node count "
+                             "(ligand atoms + residues) instead of "
+                             "compiling a new bucket under the device "
+                             "lock. Default: the largest --warmup_buckets "
+                             "rung when warming, else unlimited; 0 = "
+                             "explicitly unlimited")
     parser.add_argument("--port", type=int, default=None,
                         help="serve JSONL over TCP on this port instead "
                              "of stdin/stdout (concurrent clients; device "
@@ -368,17 +391,26 @@ def main(argv=None):
         pad_to_batch=True,
         **runner_sampler_kwargs(args),
     )
-    if args.warmup_buckets:
-        warmup_runner(
-            runner,
-            [int(b) for b in args.warmup_buckets.split(",") if b.strip()],
-            cfg.esm_dim,
-        )
+    warm = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
+    if warm:
+        warmup_runner(runner, warm, cfg.esm_dim)
+    # Work-bound policy: when the operator warmed specific buckets, the
+    # server defaults to serving ONLY sizes those buckets cover — an
+    # oversized request is refused up front rather than compiling a new
+    # program under the device lock. --max_nodes overrides; 0 disables.
+    max_nodes = args.max_nodes
+    if max_nodes is None and warm:
+        max_nodes = max(warm)
+        print(f"[serve] max_nodes defaulting to largest warmed bucket "
+              f"({max_nodes}); override with --max_nodes", file=sys.stderr,
+              flush=True)
+    if max_nodes is not None and max_nodes <= 0:
+        max_nodes = None
 
     if args.port is not None:
         serve_tcp(
             args.port, runner, embedder, args.output_dir, args.mask_prob,
-            host=args.host,
+            host=args.host, max_nodes=max_nodes,
         )
         return
 
@@ -390,7 +422,8 @@ def main(argv=None):
             if not line:
                 continue
             result = handle_line(
-                line, runner, embedder, args.output_dir, args.mask_prob
+                line, runner, embedder, args.output_dir, args.mask_prob,
+                max_nodes=max_nodes,
             )
             out_f.write(json.dumps(result) + "\n")
             out_f.flush()

@@ -333,3 +333,30 @@ def test_pad_to_batch_compiles_one_shape():
     out2 = runner.run([data], jax.random.PRNGKey(1))  # group 1 -> padded to 2
     assert np.isfinite(out2[0][0]).all()
     assert runner.trace_count == traced  # no second shape compiled
+
+
+def test_oversized_request_rejected_without_compiling(tmp_path):
+    """A request above --max_nodes returns an error line WITHOUT touching
+    the runner or embedder (runner=None would crash if the guard fired
+    late) — one client can't stall others behind a 150-300 s bucket
+    compile under the device lock."""
+    from protein_redesign_tpu.cli.serve import handle_line
+
+    # 10 residues + 3 ligand atoms = 13 nodes > max_nodes=8.
+    result = handle_line(
+        json.dumps({"id": "big", "protein": "ACDEFGHIKL", "ligand": "CCO",
+                    "num_samples": 1}),
+        runner=None, embedder=None, output_dir=tmp_path,
+        default_mask_prob=0.3, max_nodes=8,
+    )
+    assert result["id"] == "big" and "error" in result
+    assert "max_nodes" in result["error"]
+    # At/below the ceiling the guard passes (and the request then fails
+    # on runner=None, proving the guard itself let it through).
+    result2 = handle_line(
+        json.dumps({"id": "fits", "protein": "ACDEF", "ligand": "CCO",
+                    "num_samples": 1}),
+        runner=None, embedder=None, output_dir=tmp_path,
+        default_mask_prob=0.3, max_nodes=8,
+    )
+    assert "max_nodes" not in result2.get("error", "")
