@@ -46,9 +46,18 @@ def timed_fetch(fn, *args):
     return time.perf_counter() - t0, out
 
 
-def bench_forward(model, params, bucket, n_res, iters=50):
+def bench_forward(model, params, bucket, n_res, iters=50, label=""):
     """Denoiser forward steps/sec/chip via an iters-long scanned loop
-    (one dispatch; each step consumes the previous step's output)."""
+    (one dispatch; each step consumes the previous step's output).
+    Reports MFU with XLA's own FLOP count for the timed program when
+    the backend provides one (the analytic model otherwise) — the
+    denominator the 'match or beat' perf bar needs (utils/flops.py)."""
+    from protein_redesign_tpu.utils.flops import (
+        compiled_flops,
+        denoiser_forward_flops,
+        mfu,
+    )
+
     b_np = _make_batch(n_atoms=32, n_res=n_res, bucket=bucket,
                        esm_dim=model.cfg.esm_dim)
     b = {k: jnp.asarray(v) for k, v in b_np.items()}
@@ -66,13 +75,23 @@ def bench_forward(model, params, bucket, n_res, iters=50):
         return z
 
     z0 = jnp.asarray(np.random.RandomState(0).randn(B, N, 3), jnp.float32)
-    timed_fetch(loop, params, z0)  # compile
-    dt, _ = timed_fetch(loop, params, z0)
-    dt2, _ = timed_fetch(loop, params, z0)
+    compiled = loop.lower(params, z0).compile()
+    timed_fetch(compiled, params, z0)  # warm
+    dt, _ = timed_fetch(compiled, params, z0)
+    dt2, _ = timed_fetch(compiled, params, z0)
     per_step = min(dt, dt2) / iters
-    log(f"denoiser fwd N={bucket}: {per_step*1e3:.2f} ms/step "
-        f"({1/per_step:.1f} steps/s/chip)")
-    return per_step
+    flops = compiled_flops(compiled)
+    src = "xla"
+    if flops is not None:
+        flops /= iters  # the program is the whole scan
+    else:
+        flops = denoiser_forward_flops(model.cfg, B, N)
+        src = "analytic"
+    util = mfu(flops, per_step)
+    log(f"denoiser fwd [{label or 'default'}] N={bucket}: "
+        f"{per_step*1e3:.2f} ms/step ({1/per_step:.1f} steps/s/chip; "
+        f"{flops/1e9:.1f} GFLOP/step [{src}] -> MFU {util*100:.1f}%)")
+    return per_step, flops, util
 
 
 def wait_for_tpu(deadline_s=None):
@@ -144,17 +163,30 @@ def main():
     key = jax.random.PRNGKey(0)
     params = model.init_params(key, batch)
 
+    mfu_rows = {}
     for bucket, n_res in ((128, 96), (256, 200), (384, 320), (512, 420)):
-        bench_forward(model, params, bucket, n_res)
+        _, _, util = bench_forward(model, params, bucket, n_res,
+                                   label="h16x4 auto")
+        mfu_rows[f"h16x4_N{bucket}"] = round(util, 4)
 
-    # --- head_dim 64 data point (docs/SCALING.md: the 16-wide per-head
-    # contraction uses 12.5% of the 128-wide MXU; head_dim 64 is the
-    # recommended config for new trainings — substantiate with a number).
-    cfg_h64 = cfg.replace(head_dim=64)
-    model_h64 = ProteinReDiffModel(cfg_h64)
-    params_h64 = model_h64.init_params(key, batch)
-    bench_forward(model_h64, params_h64, 384, 320)
-    del params_h64
+    # --- head_dim data points (docs/SCALING.md: the 16-wide per-head
+    # contraction uses 12.5% of the 128-wide MXU). Two labeled variants:
+    # h64x4 (4x attention FLOPs at the checkpoint head count) and h64x1
+    # (the RECOMMENDED new-training layout, ~2x faster than h16x4).
+    cfg_h64x4 = cfg.replace(head_dim=64)
+    model_h64x4 = ProteinReDiffModel(cfg_h64x4)
+    params_h64x4 = model_h64x4.init_params(key, batch)
+    _, _, u = bench_forward(model_h64x4, params_h64x4, 384, 320,
+                            label="h64x4")
+    mfu_rows["h64x4_N384"] = round(u, 4)
+    del params_h64x4
+    cfg_h64x1 = cfg.replace(head_dim=64, num_heads=1)
+    model_h64x1 = ProteinReDiffModel(cfg_h64x1)
+    params_h64x1 = model_h64x1.init_params(key, batch)
+    _, _, u = bench_forward(model_h64x1, params_h64x1, 384, 320,
+                            label="h64x1")
+    mfu_rows["h64x1_N384"] = round(u, 4)
+    del params_h64x1
 
     # --- headline: full 1000-step sample wall-clock (one jitted scan),
     # parity-mode numerics (f32 softmax)
@@ -183,6 +215,7 @@ def main():
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(NORTH_STAR_S / wall, 3),
+        "mfu": mfu_rows,
     }))
 
 

@@ -290,6 +290,8 @@ def add_sampler_args(parser) -> None:
                                    "(projections+gating in-kernel)"),
         ("use_pallas_bwd", "flash-style Pallas attention BACKWARD "
                            "(training-path kernel enablement)"),
+        ("trimul_dmajor", "channel-major triangle-multiplication "
+                          "contraction layout"),
     ):
         parser.add_argument(f"--{flag}", action="store_true",
                             help=f"opt-in {what} Pallas kernel "
@@ -312,7 +314,7 @@ def sampler_cfg_overrides(args) -> Dict:
     # a checkpoint config's own kernel fields survive the load.
     for flag in ("use_pallas", "use_pallas_trimul", "use_pallas_transition",
                  "use_pallas_outer", "use_pallas_fused_gated",
-                 "use_pallas_bwd"):
+                 "use_pallas_bwd", "trimul_dmajor"):
         if getattr(args, flag):
             overrides[flag] = True
     return overrides

@@ -77,6 +77,12 @@ class ModelConfig:
     #                                entirely.
     use_pallas_trimul: bool = False  # fused triangle-multiplication kernel
     #                                  (ops/pallas_trimul.py)
+    trimul_dmajor: bool = False      # channel-major [d,N,N] triangle-
+    #                                  multiplication contraction (explicit
+    #                                  transposes around a d-batched NxN
+    #                                  dot) instead of the d-minor einsum.
+    #                                  Measured on-chip before defaulting
+    #                                  (BASELINE.md trimul layout sweep).
     use_pallas_transition: bool = False  # fused LN->MLP transition kernel
     #                                      (ops/pallas_transition.py)
     use_pallas_outer: bool = False   # fused OuterLinear kernel

@@ -96,6 +96,7 @@ class TriangleMultiplication(nn.Module):
     mode: str  # "outgoing" | "incoming"
     use_pallas: bool = False
     fast_accum: bool = False  # bf16 einsum output (serving precision mode)
+    dmajor: bool = False  # channel-major [d,N,N] contraction layout
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -138,7 +139,28 @@ class TriangleMultiplication(nn.Module):
                        param_dtype=self.param_dtype, name="ab_proj")(pair)
         )
         a, b = jnp.split(ab, 2, axis=-1)
-        if self.mode == "outgoing":
+        if self.dmajor:
+            # Channel-major layout: transpose to [..., d, N, N] so the
+            # O(N^3) contraction is a d-batched [N,N]x[N,N] dot with the
+            # 128-lane axis as the CONTRACTED dim — the MXU sees D clean
+            # NxN gemms instead of a d-minor (16/64-wide-lane) batched
+            # dot. Costs two [N,N,D] transposes each way; pays when the
+            # d-minor lowering is format-bound (measured on-chip,
+            # BASELINE.md trimul layout sweep).
+            at = jnp.moveaxis(a, -1, -3)
+            bt = jnp.moveaxis(b, -1, -3)
+            if self.mode == "outgoing":
+                prod = jnp.einsum(
+                    "...dik,...djk->...dij", at, bt,
+                    preferred_element_type=acc,
+                )
+            else:
+                prod = jnp.einsum(
+                    "...dki,...dkj->...dij", at, bt,
+                    preferred_element_type=acc,
+                )
+            prod = jnp.moveaxis(prod, -3, -1)
+        elif self.mode == "outgoing":
             # out[i,j,d] = sum_k a[i,k,d] * b[j,k,d]
             prod = jnp.einsum(
                 "...ikd,...jkd->...ijd", a, b,
@@ -305,6 +327,7 @@ class FoldingBlock(nn.Module):
     use_pallas: bool = False
     fast_softmax: bool = False
     use_pallas_trimul: bool = False
+    trimul_dmajor: bool = False
     use_pallas_transition: bool = False
     use_pallas_outer: bool = False
     use_pallas_fused_gated: bool = False
@@ -344,11 +367,11 @@ class FoldingBlock(nn.Module):
         )(single)
         pair = pair + TriangleMultiplication(
             "outgoing", self.use_pallas_trimul, fast_accum=self.fast_softmax,
-            name="pair_mul_outgoing", **kw
+            dmajor=self.trimul_dmajor, name="pair_mul_outgoing", **kw
         )(pair, mask_2d)
         pair = pair + TriangleMultiplication(
             "incoming", self.use_pallas_trimul, fast_accum=self.fast_softmax,
-            name="pair_mul_incoming", **kw
+            dmajor=self.trimul_dmajor, name="pair_mul_incoming", **kw
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
             self.head_dim, self.num_heads, "starting",
@@ -524,6 +547,7 @@ class Denoiser(nn.Module):
                 use_pallas,
                 cfg.fast_softmax,
                 use_pallas_trimul=cfg.use_pallas_trimul and fused_ok,
+                trimul_dmajor=cfg.trimul_dmajor,
                 use_pallas_transition=cfg.use_pallas_transition and fused_ok,
                 use_pallas_outer=cfg.use_pallas_outer and fused_ok,
                 use_pallas_fused_gated=(

@@ -821,3 +821,66 @@ class TestFusedAuxKernelModules:
         np.testing.assert_allclose(
             np.asarray(p1), np.asarray(p0), atol=1e-4, rtol=1e-4
         )
+
+
+class TestTrimulDmajorLayout:
+    """trimul_dmajor (channel-major [d,N,N] contraction): bit-for-bit
+    the same math as the d-minor einsum, both modes, with grads — the
+    layout flag may only change HOW XLA schedules the O(N^3) product
+    (reference modules.py:246-274), never WHAT it computes."""
+
+    @pytest.mark.parametrize("mode", ["outgoing", "incoming"])
+    def test_matches_dminor(self, mode):
+        from protein_redesign_tpu.models.denoiser import (
+            TriangleMultiplication,
+        )
+
+        rng = np.random.RandomState(3)
+        B, N, D = 2, 12, 8
+        pair = jnp.asarray(rng.randn(B, N, N, D), jnp.float32)
+        mask = jnp.asarray((rng.rand(B, N) > 0.2).astype(np.float32))
+        mask2d = mask[:, :, None] * mask[:, None, :]
+        ref_mod = TriangleMultiplication(mode, dtype=jnp.float32)
+        params = ref_mod.init(jax.random.PRNGKey(0), pair, mask2d)["params"]
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.1 * rng.standard_normal(x.shape).astype(x.dtype),
+            params,
+        )
+        dm_mod = TriangleMultiplication(mode, dmajor=True, dtype=jnp.float32)
+
+        def loss(mod, p):
+            return jnp.sum(mod.apply({"params": p}, pair, mask2d) ** 2)
+
+        ref, gref = jax.value_and_grad(lambda p: loss(ref_mod, p))(params)
+        out, gout = jax.value_and_grad(lambda p: loss(dm_mod, p))(params)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gref),
+                        jax.tree_util.tree_leaves(gout)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5
+            )
+
+    def test_config_plumbs_to_denoiser(self):
+        """cfg.trimul_dmajor flows through Denoiser -> FoldingBlock and
+        leaves the full forward numerically unchanged."""
+        from protein_redesign_tpu.config import ModelConfig
+        from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+        from __graft_entry__ import _make_batch
+
+        cfg = ModelConfig(single_dim=16, pair_dim=8, head_dim=4,
+                          num_heads=2, num_blocks=1, num_steps=4,
+                          esm_dim=16, training_mode=False)
+        b = {k: jnp.asarray(v)
+             for k, v in _make_batch(4, 8, 16, esm_dim=16).items()}
+        m1 = ProteinReDiffModel(cfg)
+        params = m1.init_params(jax.random.PRNGKey(0), b)
+        m2 = ProteinReDiffModel(cfg.replace(trimul_dmajor=True))
+        B, N = b["residue_mask"].shape
+        mask = b["atom_mask"] + b["residue_mask"]
+        z = jnp.asarray(np.random.RandomState(0).randn(B, N, 3), jnp.float32)
+        seq = jnp.zeros((B, N, 21))
+        t = jnp.zeros((B,), jnp.int32)
+        o1 = m1.apply(params, b, z, seq, mask, t)
+        o2 = m2.apply(params, b, z, seq, mask, t)
+        np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]),
+                                   atol=1e-5, rtol=1e-5)
