@@ -1,0 +1,220 @@
+"""Round-3 on-chip probes (run each subcommand in a FRESH process —
+the Pallas K-chunk knobs are import-time, docs/SCALING.md).
+
+Subcommands:
+  trimul        d-minor vs d-major triangle-multiplication layout:
+                per-op micro-bench + denoiser fwd, N=384/512, h16x4 and
+                h64x1 (VERDICT r2 #1: the 0.78 ms vs ~0.2 ms roofline gap)
+  k2048         forced fused-attention forward at N=2048 — compile-proof
+                + timing of the grid-dimension K-chunked kernel
+                (vs the 5540 ms chunk-128 fallback, BASELINE.md)
+  f32_1024      forced-kernel forward at N=1024 with f32 activations
+  flashbwd      train step at --bucket 768/1024, chunked vs forced
+                kernel + flash backward (VERDICT r2 #3)
+
+Results -> BASELINE.md / resolve_attention_plan defaults.
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _make_batch
+from protein_redesign_tpu.config import ModelConfig, TrainConfig
+from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
+from protein_redesign_tpu.utils.flops import (
+    compiled_flops,
+    denoiser_forward_flops,
+    mfu,
+)
+
+BASE = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
+                   num_steps=1000)
+
+_PARAMS_CACHE = {}
+
+
+def timed_fetch(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(jax.tree_util.tree_leaves(out)[0].sum())
+    return time.perf_counter() - t0, out
+
+
+def shared_params(cfg):
+    """Init once at a small bucket (params are N-independent); key on the
+    dims that change the tree."""
+    key = (cfg.single_dim, cfg.pair_dim, cfg.head_dim, cfg.num_heads,
+           str(cfg.param_dtype))
+    if key not in _PARAMS_CACHE:
+        init_cfg = cfg.replace(attn_chunk=0, use_pallas=False,
+                               pallas_auto_min_n=0)
+        model = ProteinReDiffModel(init_cfg)
+        b = {k: jnp.asarray(v)
+             for k, v in _make_batch(32, 96, 128,
+                                     esm_dim=cfg.esm_dim).items()}
+        _PARAMS_CACHE[key] = model.init_params(jax.random.PRNGKey(0), b)
+    return _PARAMS_CACHE[key]
+
+
+def fwd_bench(cfg, bucket, n_res, iters, label):
+    model = ProteinReDiffModel(cfg.replace(training_mode=False))
+    b = {k: jnp.asarray(v)
+         for k, v in _make_batch(32, n_res, bucket,
+                                 esm_dim=cfg.esm_dim).items()}
+    B, N = b["residue_mask"].shape
+    mask = b["atom_mask"] + b["residue_mask"]
+    seq = jnp.zeros((B, N, 21))
+    t = jnp.zeros((B,), jnp.int32)
+    params = shared_params(cfg)
+
+    @jax.jit
+    def loop(params, z0):
+        def body(z, _):
+            noise_pred, _seq = model.apply(params, b, z, seq, mask, t)
+            return z + 0.01 * noise_pred, None
+        z, _ = jax.lax.scan(body, z0, None, length=iters)
+        return z
+
+    z0 = jnp.asarray(np.random.RandomState(0).randn(B, N, 3), jnp.float32)
+    try:
+        c0 = time.perf_counter()
+        compiled = loop.lower(params, z0).compile()
+        compile_s = time.perf_counter() - c0
+        timed_fetch(compiled, params, z0)
+        dt, _ = timed_fetch(compiled, params, z0)
+        dt2, _ = timed_fetch(compiled, params, z0)
+        per = min(dt, dt2) / iters
+        fl = compiled_flops(compiled)
+        fl = fl / iters if fl else denoiser_forward_flops(cfg, B, N)
+        print(f"[{label}] fwd N={bucket}: {per*1e3:.2f} ms/step "
+              f"({fl/1e9:.1f} GF -> MFU {mfu(fl, per)*100:.1f}%; "
+              f"compile {compile_s:.0f}s)", flush=True)
+        return per
+    except Exception as e:
+        print(f"[{label}] fwd N={bucket}: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+        return None
+
+
+def trimul_op_bench(dmajor, bucket, iters=30):
+    """The TriangleMultiplication module alone, scanned."""
+    from protein_redesign_tpu.models.denoiser import TriangleMultiplication
+
+    D = 64
+    mod = TriangleMultiplication("outgoing", dmajor=dmajor,
+                                 dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    pair = jnp.asarray(rng.randn(1, bucket, bucket, D), jnp.float32)
+    mask = jnp.ones((1, bucket), jnp.float32)
+    mask2d = mask[:, :, None] * mask[:, None, :]
+    params = mod.init(jax.random.PRNGKey(0), pair, mask2d)
+
+    @jax.jit
+    def loop(params, z0):
+        def body(z, _):
+            return z + 0.001 * mod.apply(params, z, mask2d), None
+        z, _ = jax.lax.scan(body, z0, None, length=iters)
+        return z
+
+    compiled = loop.lower(params, pair).compile()
+    timed_fetch(compiled, params, pair)
+    dt, _ = timed_fetch(compiled, params, pair)
+    dt2, _ = timed_fetch(compiled, params, pair)
+    per = min(dt, dt2) / iters
+    fl = compiled_flops(compiled)
+    fl = fl / iters if fl else (12 * bucket**2 * D * D + 2 * D * bucket**3)
+    lay = "dmajor" if dmajor else "dminor"
+    print(f"[trimul-op {lay}] N={bucket}: {per*1e3:.3f} ms "
+          f"({fl/1e9:.2f} GF -> MFU {mfu(fl, per)*100:.1f}%)", flush=True)
+
+
+def cmd_trimul(args):
+    for bucket in (384, 512):
+        for dm in (False, True):
+            trimul_op_bench(dm, bucket)
+    for cfg, tag in ((BASE, "h16x4"),
+                     (BASE.replace(head_dim=64, num_heads=1,
+                                   esm_dim=320), "h64x1")):
+        for bucket, n_res, iters in ((384, 320, 20), (512, 420, 12)):
+            for dm in (False, True):
+                lay = "dmajor" if dm else "dminor"
+                fwd_bench(cfg.replace(trimul_dmajor=dm), bucket, n_res,
+                          iters, f"{tag} {lay}")
+
+
+def cmd_k2048(args):
+    cfg = BASE.replace(use_pallas=True)
+    fwd_bench(cfg, 2048, 1800, iters=2, label="kernel-grid-kchunk")
+
+
+def cmd_f32_1024(args):
+    cfg = BASE.replace(use_pallas=True, dtype="float32")
+    fwd_bench(cfg, 1024, 900, iters=3, label="kernel f32")
+
+
+def cmd_flashbwd(args):
+    from protein_redesign_tpu.parallel.train_step import (
+        make_train_state,
+        make_train_step,
+    )
+
+    bucket = args.bucket
+    iters = 6 if bucket <= 768 else 3
+    for forced, tag in ((False, "auto(chunked)"), (True, "kernel+flashbwd")):
+        cfg = BASE.replace(training_mode=True, use_pallas=forced,
+                           use_pallas_bwd=True)
+        model = ProteinReDiffModel(cfg)
+        b = {k: jnp.asarray(v)
+             for k, v in _make_batch(32, bucket - 80, bucket,
+                                     esm_dim=cfg.esm_dim).items()}
+        train_cfg = TrainConfig()
+        try:
+            state = make_train_state(model, train_cfg,
+                                     jax.random.PRNGKey(0), b)
+            step = make_train_step(model, train_cfg)
+
+            @jax.jit
+            def loop(state, b, k):
+                def body(s, i):
+                    s2, metrics = step(s, b, jax.random.fold_in(k, i))
+                    return s2, metrics["loss"]
+                return jax.lax.scan(body, state, jnp.arange(iters))
+
+            c0 = time.perf_counter()
+            compiled = loop.lower(state, b, jax.random.PRNGKey(2)).compile()
+            compile_s = time.perf_counter() - c0
+            timed_fetch(compiled, state, b, jax.random.PRNGKey(2))
+            d, _ = timed_fetch(compiled, state, b, jax.random.PRNGKey(3))
+            d2, _ = timed_fetch(compiled, state, b, jax.random.PRNGKey(4))
+            ms = min(d, d2) / iters * 1e3
+            print(f"[train {tag}] B=1 bucket {bucket}: {ms:.1f} ms/step "
+                  f"({1e3/ms:.2f} steps/s/chip; compile {compile_s:.0f}s)",
+                  flush=True)
+        except Exception as e:
+            print(f"[train {tag}] bucket {bucket}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("trimul")
+    sub.add_parser("k2048")
+    sub.add_parser("f32_1024")
+    fb = sub.add_parser("flashbwd")
+    fb.add_argument("--bucket", type=int, default=768)
+    args = p.parse_args()
+    enable_compilation_cache()
+    {"trimul": cmd_trimul, "k2048": cmd_k2048,
+     "f32_1024": cmd_f32_1024, "flashbwd": cmd_flashbwd}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

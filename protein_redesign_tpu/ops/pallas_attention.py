@@ -139,6 +139,14 @@ _KCHUNK_ENV = os.environ.get("PRD_KCHUNK")
 _KCHUNK_TARGET = int(_KCHUNK_ENV) if _KCHUNK_ENV else KCHUNK
 _KCHUNK_RB_CAP = int(os.environ.get("PRD_KCHUNK_RB", 2))
 _KCHUNK_GRID = os.environ.get("PRD_KCHUNK_GRID", "1") != "0"
+# CN operand layout for the grid variant: operands/output as [R,H,C,N]
+# (N minor). The [R,H,N,C] layout's C=16 minor dim is lane-padded 16->128
+# by the kernel's layout constraint — an 8x HBM expansion (4 GB per
+# operand at N=2048) that OOMed the chip by 258 MB with the whole model
+# in residence. Transposed operands are UNPADDED (C=16 is a sublane
+# multiple), so the same kernel math fits easily. Default ON; opt out
+# with PRD_KCHUNK_CN=0.
+_KCHUNK_CN = os.environ.get("PRD_KCHUNK_CN", "1") != "0"
 
 
 def _make_rowhead_kchunk_kernel(RB: int, KC: int, NK: int):
@@ -236,6 +244,107 @@ def _make_rowhead_kchunk_grid_kernel(RB: int):
     return kernel
 
 
+def _make_rowhead_kchunk_grid_cn_kernel(RB: int):
+    """CN-layout variant of the grid K-chunked kernel: operands and
+    output are [R, H, C, N] (N minor) so the HBM buffers are unpadded —
+    the [R,H,N,C] layout's 16-wide minor dim is lane-padded 8x, which
+    OOMed the chip at N=2048 (see _KCHUNK_CN). The math runs entirely
+    in the transposed space: logits^T [KC, N] with a column-wise online
+    softmax, accumulator [C, N]."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
+               m_scr, s_scr, acc_scr):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            s_scr[...] = jnp.zeros(s_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        for b in range(RB):
+            qT = q_ref[b, 0]         # [C, N]
+            kT = k_ref[b, 0]         # [C, KC]
+            vT = v_ref[b, 0]         # [C, KC]
+            mk = mask_ref[b, 0]      # [KC]
+            # logits^T[kc, n] = sum_c kT[c, kc] * qT[c, n]
+            logitsT = jax.lax.dot_general(
+                kT, qT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                        # [KC, N]
+            logitsT = jnp.where(mk[:, None] < 0.5, NEG_INF, logitsT)
+            m_run = m_scr[b]         # [1, N]
+            s_run = s_scr[b]
+            acc = acc_scr[b]         # [C, N]
+            m_new = jnp.maximum(
+                m_run, jnp.max(logitsT, axis=0, keepdims=True)
+            )
+            scale = jnp.exp(m_run - m_new)           # [1, N]
+            p = jnp.exp(logitsT - m_new)             # [KC, N]
+            m_scr[b] = m_new
+            s_scr[b] = s_run * scale + jnp.sum(p, axis=0, keepdims=True)
+            acc_scr[b] = acc * scale + jnp.dot(
+                vT, p.astype(vT.dtype), preferred_element_type=jnp.float32
+            )
+
+        @pl.when(j == pl.num_programs(2) - 1)
+        def _finalize():
+            for b in range(RB):
+                out_ref[b, 0] = (
+                    acc_scr[b] / s_scr[b]
+                ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _rows_attention_kchunk_grid_cn(qt, kt, vt, mask, kc, RB, interpret):
+    """pallas_call wrapper for the CN-layout grid kernel: transposes
+    [R,H,N,C] -> [R,H,C,N] around the call (XLA materializes the
+    transposed operands UNPADDED; the N,C-minor forms it would otherwise
+    constrain are 8x lane-padded in HBM)."""
+    R, H, N, C = qt.shape
+    NK = N // kc
+    grid = (R // RB, H, NK)
+    qtt = jnp.swapaxes(qt, -1, -2)
+    ktt = jnp.swapaxes(kt, -1, -2)
+    vtt = jnp.swapaxes(vt, -1, -2)
+    out_t = pl.pallas_call(
+        _make_rowhead_kchunk_grid_cn_kernel(RB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB, 1, C, N), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, C, kc), lambda i, h, j: (i, h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, C, kc), lambda i, h, j: (i, h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, kc), lambda i, h, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (RB, 1, C, N), lambda i, h, j: (i, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, H, C, N), qt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((RB, 1, N), jnp.float32),
+            pltpu.VMEM((RB, 1, N), jnp.float32),
+            pltpu.VMEM((RB, C, N), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * N * N * C,
+            bytes_accessed=8 * R * N * H * C,
+            transcendentals=R * H * N * N,
+        ),
+    )(qtt, ktt, vtt, mask[:, None, :])
+    return jnp.swapaxes(out_t, -1, -2)
+
+
 def _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB, interpret):
     """pallas_call wrapper for the grid-variant K-chunked kernel."""
     R, H, N, C = qt.shape
@@ -320,6 +429,9 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
             RB = cand
             break
     if kchunked and _KCHUNK_GRID:
+        if _KCHUNK_CN:
+            return _rows_attention_kchunk_grid_cn(qt, kt, vt, mask, kc,
+                                                  RB, interpret)
         return _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB,
                                            interpret)
     grid = (R // RB, H)

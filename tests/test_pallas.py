@@ -173,6 +173,42 @@ class TestKChunkedRowsKernel:
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
 
+    def test_grid_cn_layout_matches_reference(self, monkeypatch):
+        """The CN-layout grid kernel (operands/output [R,H,C,N], the
+        default: unpadded HBM buffers where the NC-minor layout is
+        lane-padded 8x and OOMs at N=2048): numerics must match the
+        reference, including fully-masked rows."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", True)
+        monkeypatch.setattr(pa, "_KCHUNK_CN", True)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        mask = mask.at[1].set(0.0)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_grid_nc_layout_still_works(self, monkeypatch):
+        """PRD_KCHUNK_CN=0 keeps the original NC-layout grid kernel
+        selectable (benchmark sweeps)."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", True)
+        monkeypatch.setattr(pa, "_KCHUNK_CN", False)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
     def test_knob_overrides(self, monkeypatch):
         """The sweep knobs (PRD_KCHUNK / PRD_KCHUNK_RB, read ONCE at
         import into module constants — process-lifetime settings)
