@@ -80,17 +80,17 @@ def bench_forward(model, params, bucket, n_res, iters=50, label=""):
     dt, _ = timed_fetch(compiled, params, z0)
     dt2, _ = timed_fetch(compiled, params, z0)
     per_step = min(dt, dt2) / iters
-    flops = compiled_flops(compiled)
-    src = "xla"
-    if flops is not None:
-        flops /= iters  # the program is the whole scan
-    else:
-        flops = denoiser_forward_flops(model.cfg, B, N)
-        src = "analytic"
+    # MFU denominator: the analytic MODEL FLOPs (the convention — what
+    # the math requires, not what the compiler emitted). XLA's count of
+    # the same program is logged as a cross-check; HLO cost analysis
+    # counts a while/scan body ONCE, so it approximates one step.
+    flops = denoiser_forward_flops(model.cfg, B, N)
+    xla_fl = compiled_flops(compiled)
     util = mfu(flops, per_step)
+    xla_note = f", xla {xla_fl/1e9:.1f}" if xla_fl else ""
     log(f"denoiser fwd [{label or 'default'}] N={bucket}: "
         f"{per_step*1e3:.2f} ms/step ({1/per_step:.1f} steps/s/chip; "
-        f"{flops/1e9:.1f} GFLOP/step [{src}] -> MFU {util*100:.1f}%)")
+        f"{flops/1e9:.1f} GFLOP/step{xla_note} -> MFU {util*100:.1f}%)")
     return per_step, flops, util
 
 

@@ -28,11 +28,7 @@ from __graft_entry__ import _make_batch
 from protein_redesign_tpu.config import ModelConfig, TrainConfig
 from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
 from protein_redesign_tpu.utils.compile_cache import enable_compilation_cache
-from protein_redesign_tpu.utils.flops import (
-    compiled_flops,
-    denoiser_forward_flops,
-    mfu,
-)
+from protein_redesign_tpu.utils.flops import denoiser_forward_flops, mfu
 
 BASE = ModelConfig(single_dim=512, pair_dim=64, num_blocks=4,
                    num_steps=1000)
@@ -91,8 +87,9 @@ def fwd_bench(cfg, bucket, n_res, iters, label):
         dt, _ = timed_fetch(compiled, params, z0)
         dt2, _ = timed_fetch(compiled, params, z0)
         per = min(dt, dt2) / iters
-        fl = compiled_flops(compiled)
-        fl = fl / iters if fl else denoiser_forward_flops(cfg, B, N)
+        # Analytic model FLOPs: HLO cost analysis counts the scan body
+        # once, so compiled_flops(program)/iters is NOT per-step.
+        fl = denoiser_forward_flops(cfg, B, N)
         print(f"[{label}] fwd N={bucket}: {per*1e3:.2f} ms/step "
               f"({fl/1e9:.1f} GF -> MFU {mfu(fl, per)*100:.1f}%; "
               f"compile {compile_s:.0f}s)", flush=True)
@@ -128,8 +125,7 @@ def trimul_op_bench(dmajor, bucket, iters=30):
     dt, _ = timed_fetch(compiled, params, pair)
     dt2, _ = timed_fetch(compiled, params, pair)
     per = min(dt, dt2) / iters
-    fl = compiled_flops(compiled)
-    fl = fl / iters if fl else (12 * bucket**2 * D * D + 2 * D * bucket**3)
+    fl = float(12 * bucket**2 * D * D + 2 * D * bucket**3)
     lay = "dmajor" if dmajor else "dminor"
     print(f"[trimul-op {lay}] N={bucket}: {per*1e3:.3f} ms "
           f"({fl/1e9:.2f} GF -> MFU {mfu(fl, per)*100:.1f}%)", flush=True)

@@ -471,14 +471,18 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     # / 1.48x at N=512 over the XLA train step, BASELINE.md): without it
     # the custom-vjp backward re-materializes the [rows, H, N, N] logits
     # via the einsum reference and the forward win washes out (measured
-    # 0.89x/0.98x). Scoped to n < LONGCTX_CHUNK_MIN_N: the 768+ training
-    # rungs keep the known-good chunked path until the kernel backward
-    # is compile-proven and measured there (docs/ROADMAP.md).
+    # 0.89x/0.98x). Round 3 compile-proved and measured the kernel train
+    # step at the long-context rungs too — 1.90x at N=768 (681.9 vs
+    # 1297.3 ms/step) and 2.00x at N=1024 (1464.4 vs 2935.2 ms/step)
+    # over the chunked fallback, identical losses (BASELINE.md flash-
+    # backward long-context rows) — so the gate now runs to the kernel
+    # ceiling (PALLAS_AUTO_MAX_N; at 2048 the flash backward's per-row
+    # [N,N] VMEM logits stop fitting and chunked takes over).
     trainable = (
         cfg.training_mode
         and cfg.use_pallas_bwd
         and not cfg.sequence_parallel
-        and n < LONGCTX_CHUNK_MIN_N
+        and n < PALLAS_AUTO_MAX_N
     )
     if (
         (inference or trainable)

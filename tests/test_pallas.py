@@ -469,16 +469,16 @@ class TestAutoPallasPolicy:
         # Beyond the ladder/measurements (>=2048): chunked fallback.
         assert resolve_attention_plan(cfg, 2048) == (False, 128)
         # Training DEFAULT (use_pallas_bwd on): the kernel with the
-        # flash-style Pallas backward at narrow-head 384..767 (measured
-        # 1.21x/1.48x train step, BASELINE.md); chunked attention keeps
-        # the 768+ rungs (kernel backward unmeasured there); plain XLA
-        # below 384.
+        # flash-style Pallas backward at narrow-head 384..1024 (measured
+        # train-step wins 1.21x/1.48x at 384/512 and 1.90x/2.00x at
+        # 768/1024, BASELINE.md); chunked attention keeps N>=2048;
+        # plain XLA below 384.
         train_cfg = cfg.replace(training_mode=True)
         assert resolve_attention_plan(train_cfg, 256) == (False, 0)
         assert resolve_attention_plan(train_cfg, 384) == (True, 0)
         assert resolve_attention_plan(train_cfg, 512) == (True, 0)
-        assert resolve_attention_plan(train_cfg, 768) == (False, 128)
-        assert resolve_attention_plan(train_cfg, 1024) == (False, 128)
+        assert resolve_attention_plan(train_cfg, 768) == (True, 0)
+        assert resolve_attention_plan(train_cfg, 1024) == (True, 0)
         assert resolve_attention_plan(train_cfg, 2048) == (False, 128)
         # Opt-out restores the round-1 behavior: plain XLA below 768
         # (unchunked fits), chunked from there up (per-chunk remat) —
@@ -530,9 +530,15 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             cfg.replace(pallas_auto_min_n=0), 4096
         ) == (False, 0)
-        # Non-128-divisible long sizes: no silent chunk (must be explicit).
+        # Non-128-divisible long sizes: the narrow-head kernel takes it
+        # (no chunk-divisibility requirement), matching inference.
         assert resolve_attention_plan(
             cfg.replace(training_mode=True), 800
+        ) == (True, 0)
+        # Without the flash backward there is no kernel for training and
+        # no silent chunk either (must be explicit).
+        assert resolve_attention_plan(
+            cfg.replace(training_mode=True, use_pallas_bwd=False), 800
         ) == (False, 0)
 
     def test_auto_forward_matches_einsum_path(self):
