@@ -131,6 +131,92 @@ def trimul_op_bench(dmajor, bucket, iters=30):
           f"({fl/1e9:.2f} GF -> MFU {mfu(fl, per)*100:.1f}%)", flush=True)
 
 
+def module_bench(make_args, flops, label, iters=30):
+    """One module scanned: state is the first argument; extra args are
+    closed over. Returns s/call."""
+    mod, params, state0, extra = make_args()
+
+    @jax.jit
+    def loop(params, z0):
+        def body(z, _):
+            return z + 0.001 * mod.apply(params, z, *extra).astype(z.dtype), None
+        z, _ = jax.lax.scan(body, z0, None, length=iters)
+        return z
+
+    compiled = loop.lower(params, state0).compile()
+    timed_fetch(compiled, params, state0)
+    dt, _ = timed_fetch(compiled, params, state0)
+    dt2, _ = timed_fetch(compiled, params, state0)
+    per = min(dt, dt2) / iters
+    print(f"[op {label}]: {per*1e3:.3f} ms/call "
+          f"({flops/1e9:.2f} GF -> MFU {mfu(flops, per)*100:.1f}%)",
+          flush=True)
+    return per
+
+
+def cmd_roofline(args):
+    """Per-op timings at N=384/512, paper h16x4 bf16: where the denoiser
+    step goes and what bounds each piece (BASELINE.md roofline table)."""
+    from protein_redesign_tpu.models.denoiser import (
+        OuterLinear,
+        TriangleAttention,
+        TriangleMultiplication,
+    )
+    from protein_redesign_tpu.models.layers import TransitionMLP
+
+    D, S, H, C, tf = 64, 512, 4, 16, 4
+    rng = np.random.RandomState(0)
+    for N in (384, 512):
+        pair = jnp.asarray(rng.randn(1, N, N, D), jnp.float32)
+        single = jnp.asarray(rng.randn(1, N, S), jnp.float32)
+        mask = jnp.ones((1, N), jnp.float32)
+        mask2d = mask[:, :, None] * mask[:, None, :]
+
+        def setup(mod, state, *extra):
+            params = mod.init(jax.random.PRNGKey(0), state, *extra) \
+                if extra else mod.init(jax.random.PRNGKey(0), state)
+            return lambda: (mod, params, state, extra)
+
+        tm_fl = 12 * N**2 * D * D + 2 * D * N**3
+        module_bench(setup(
+            TriangleMultiplication("outgoing", dtype=jnp.bfloat16),
+            pair, mask2d), tm_fl, f"trimul N={N}")
+        ta_fl = (10 * N**2 * D * H * C + 4 * H * C * N**3)
+        for use_pallas, tag in ((False, "xla"), (True, "kernel")):
+            module_bench(setup(
+                TriangleAttention(C, H, "starting", use_pallas=use_pallas,
+                                  dtype=jnp.bfloat16),
+                pair, mask2d), ta_fl, f"tri-attn[{tag}] N={N}")
+        ol_fl = 2 * N**2 * 2 * S * D
+        # OuterLinear consumes single [1,N,S] and emits [1,N,N,D]: scan
+        # over single, folding a reduced tile of the output back in so
+        # each step depends on the previous (no constant folding).
+        ol = OuterLinear(D, dtype=jnp.bfloat16)
+        olp = ol.init(jax.random.PRNGKey(0), single)
+
+        @jax.jit
+        def ol_loop(params, s0):
+            def body(s, _):
+                upd = ol.apply(params, s)               # [1, N, N, D]
+                fold = jnp.tile(upd.mean(axis=1), (1, 1, S // D))
+                return s + 0.001 * fold.astype(s.dtype), None
+            s, _ = jax.lax.scan(body, s0, None, length=20)
+            return s
+
+        compiled = ol_loop.lower(olp, single).compile()
+        timed_fetch(compiled, olp, single)
+        dt, _ = timed_fetch(compiled, olp, single)
+        dt2, _ = timed_fetch(compiled, olp, single)
+        per = min(dt, dt2) / 20
+        print(f"[op outer_linear N={N}]: {per*1e3:.3f} ms/call "
+              f"({ol_fl/1e9:.2f} GF -> MFU {mfu(ol_fl, per)*100:.1f}%)",
+              flush=True)
+        pf_fl = 4 * N**2 * D * D * tf
+        module_bench(setup(
+            TransitionMLP(D * tf, D, dtype=jnp.bfloat16), pair),
+            pf_fl, f"pair-transition N={N}")
+
+
 def cmd_trimul(args):
     for bucket in (384, 512):
         for dm in (False, True):
@@ -204,12 +290,14 @@ def main():
     sub.add_parser("trimul")
     sub.add_parser("k2048")
     sub.add_parser("f32_1024")
+    sub.add_parser("roofline")
     fb = sub.add_parser("flashbwd")
     fb.add_argument("--bucket", type=int, default=768)
     args = p.parse_args()
     enable_compilation_cache()
     {"trimul": cmd_trimul, "k2048": cmd_k2048,
-     "f32_1024": cmd_f32_1024, "flashbwd": cmd_flashbwd}[args.cmd](args)
+     "f32_1024": cmd_f32_1024, "flashbwd": cmd_flashbwd,
+     "roofline": cmd_roofline}[args.cmd](args)
 
 
 if __name__ == "__main__":
