@@ -263,3 +263,120 @@ class TestTMalignConformance:
         ).decode()
         tm2 = float(out.splitlines()[1].split()[3])
         assert tm2 == pytest.approx(1.0, abs=5e-3)  # model 1 == helix
+
+
+def _ca_protein(pos, seed=0):
+    """Protein with the given CA trace (chem/protein.py layout)."""
+    n = len(pos)
+    rng = np.random.RandomState(seed)
+    atom_pos = np.zeros((n, 37, 3), np.float32)
+    atom_pos[:, 1] = pos
+    atom_mask = np.zeros((n, 37), np.float32)
+    atom_mask[:, 1] = 1.0
+    return Protein(
+        chain_index=np.zeros(n, np.int64),
+        residue_index=np.arange(n, dtype=np.int64),
+        aatype=rng.randint(0, 20, n),
+        atom_pos=atom_pos,
+        atom_mask=atom_mask,
+    )
+
+
+def _random_walk_ca(n, seed, step=3.8):
+    """Protein-like random CA walk: fixed 3.8 A steps with bounded
+    turning angles (self-avoiding-ish, like a real backbone)."""
+    rng = np.random.RandomState(seed)
+    pos = [np.zeros(3)]
+    d = np.array([1.0, 0.0, 0.0])
+    for _ in range(n - 1):
+        # perturb the direction by a bounded random rotation
+        ax = rng.randn(3)
+        ax /= np.linalg.norm(ax)
+        ang = rng.uniform(0.2, 0.9)
+        R = rotation(ax, ang)
+        d = d @ R.T
+        pos.append(pos[-1] + step * d)
+    return np.asarray(pos, np.float32)
+
+
+class TestDifferentialVsNumpyReference:
+    """Cross-validation against an INDEPENDENT brute-force NumPy
+    TM-score (tests/tmscore_reference.py, written from the definition,
+    no shared code): bounds the absolute-score drift that
+    docs/TMALIGN.md's divergence notes leave open (VERDICT r2 §7)."""
+
+    TOL = 0.03  # both searches are heuristic; agreement tolerance
+
+    def _check(self, prb, ref, mirror=False, one_sided=False):
+        """TM-score is a MAX over superpositions, so any found
+        superposition is a lower bound: the binary must never be
+        materially WORSE than brute force (one-sided). In well-defined
+        regimes (clearly related pairs) the optima coincide and the
+        check is two-sided."""
+        from tests.tmscore_reference import tmscore_numpy
+
+        tm_cpp, _, _ = run_tmalign(prb, ref, mirror=mirror)
+        tm_np = tmscore_numpy(prb.atom_pos[:, 1], ref.atom_pos[:, 1],
+                              mirror=mirror)
+        assert tm_cpp >= tm_np - self.TOL, (tm_cpp, tm_np)
+        if not one_sided:
+            assert tm_cpp == pytest.approx(tm_np, abs=self.TOL), (
+                tm_cpp, tm_np)
+        return tm_cpp, tm_np
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+    def test_rigid_noised_copies(self, seed):
+        """Rotated + noised copies of random walks: the optimum is
+        well-defined; both implementations must find it."""
+        rng = np.random.RandomState(100 + seed)
+        pos = _random_walk_ca(40, seed)
+        R = rotation(rng.randn(3), rng.uniform(0.5, 2.5))
+        noise = rng.randn(*pos.shape) * 0.8
+        prb = _ca_protein((pos @ R.T + rng.randn(3) * 10 + noise), seed)
+        ref = _ca_protein(pos, seed)
+        tm_cpp, _ = self._check(prb, ref)
+        assert tm_cpp > 0.5  # related pair: score must be high
+
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_fragments(self, seed):
+        """A 20-mer fragment vs the full 50-mer: TM2 is bounded by
+        20/50 and both searches must agree on the achieved value."""
+        rng = np.random.RandomState(seed)
+        pos = _random_walk_ca(50, seed)
+        lo = rng.randint(0, 30)
+        frag = pos[lo:lo + 20] + rng.randn(20, 3) * 0.3
+        R = rotation(rng.randn(3), rng.uniform(0.0, 2.0))
+        prb = _ca_protein(frag @ R.T + 5.0, seed)
+        ref = _ca_protein(pos, seed)
+        tm_cpp, _ = self._check(prb, ref)
+        assert tm_cpp <= 20 / 50 + 0.02
+
+    @pytest.mark.parametrize("seed", [21, 22])
+    def test_mirror_mode(self, seed):
+        """Mirror-image copies: near-zero normally (chiral walk), ~1.0
+        with mirror=True — and the two implementations agree in BOTH
+        modes."""
+        pos = _random_walk_ca(40, seed)
+        prb = _ca_protein(pos * np.array([1, 1, -1], np.float32), seed)
+        ref = _ca_protein(pos, seed)
+        tm_mir_cpp, _ = self._check(prb, ref, mirror=True)
+        assert tm_mir_cpp > 0.95
+        # Non-mirrored view of a mirrored pair: low-TM regime, local
+        # optima may differ (docs/TMALIGN.md #1) -> one-sided check
+        # plus a ceiling.
+        tm_cpp, _ = self._check(prb, ref, mirror=False, one_sided=True)
+        assert tm_cpp < 0.45
+
+    def test_unrelated_pair_low_scores(self):
+        """Two independent walks: both searches should report LOW TM;
+        agreement tolerance is looser here (different local optima are
+        expected on unrelated pairs, docs/TMALIGN.md #1) but neither may
+        report a high score."""
+        from tests.tmscore_reference import tmscore_numpy
+
+        prb = _ca_protein(_random_walk_ca(40, 31), 31)
+        ref = _ca_protein(_random_walk_ca(40, 32), 32)
+        tm_cpp, _, _ = run_tmalign(prb, ref)
+        tm_np = tmscore_numpy(prb.atom_pos[:, 1], ref.atom_pos[:, 1])
+        assert tm_cpp < 0.4 and tm_np < 0.4
+        assert tm_cpp >= tm_np - 0.03
