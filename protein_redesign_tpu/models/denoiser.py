@@ -410,14 +410,18 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-# Beyond this the auto plan stops trusting the fused kernel: the ladder
-# tops out at 1024 and the kernel is measured there (323 ms/step, 1.83x
-# over chunked XLA — BASELINE.md long-context table); at N = 2048 the
-# K-chunked variant FAILS to compile on the real chip (remote
-# tpu_compile_helper exit 1 — BASELINE.md 2048 row), so the auto plan
-# falls back to query-chunked attention (chunk 128, the only config
-# that compiles there; chunk 256 also fails).
+# Kernel ceiling for TRAINING: the flash backward is compile-proven and
+# measured through N=1024 (BASELINE.md flash-backward rows); at 2048 its
+# per-row [N,N] f32 VMEM intermediates (~67 MB at RB=1) are unproven, so
+# training falls back to query-chunked attention there.
 PALLAS_AUTO_MAX_N = 2048
+# Kernel ceiling for INFERENCE: the whole data ladder. Round 3 fixed the
+# N=2048 failure — it was an HBM OOM from the NC-minor operand layouts'
+# 8x lane padding, not a compile limitation — with the CN-layout grid
+# K-chunked kernel (unpadded [R,H,C,N] operands): measured 1642.6
+# ms/step at N=2048 vs 5540 ms on the chunk-128 fallback (3.37x,
+# BASELINE.md long-context table).
+PALLAS_INFER_MAX_N = 2048  # inclusive: kernel proven AT 2048
 # From this size up, the unchunked XLA lowering stops being viable
 # (~3.6 GB bf16 triangle logits at 768; fails to compile at 1024), so
 # non-kernel modes (training, sequence-parallel, n >= PALLAS_AUTO_MAX_N)
@@ -484,10 +488,11 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
         and not cfg.sequence_parallel
         and n < PALLAS_AUTO_MAX_N
     )
+    ceiling = PALLAS_INFER_MAX_N + 1 if inference else PALLAS_AUTO_MAX_N
     if (
         (inference or trainable)
         and cfg.head_dim < 32
-        and cfg.pallas_auto_min_n <= n < PALLAS_AUTO_MAX_N
+        and cfg.pallas_auto_min_n <= n < ceiling
     ):
         return True, 0
     if n >= LONGCTX_CHUNK_MIN_N:

@@ -466,8 +466,12 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(cfg, 512) == (True, 0)
         assert resolve_attention_plan(cfg, 768) == (True, 0)
         assert resolve_attention_plan(cfg, 1024) == (True, 0)
-        # Beyond the ladder/measurements (>=2048): chunked fallback.
-        assert resolve_attention_plan(cfg, 2048) == (False, 128)
+        # The ladder's top rung: the CN-layout K-chunked grid kernel,
+        # compile-proven and measured at N=2048 (1642.6 ms/step, 3.37x
+        # over the chunk-128 fallback — BASELINE.md). Beyond the ladder:
+        # chunked fallback (kernel unproven there).
+        assert resolve_attention_plan(cfg, 2048) == (True, 0)
+        assert resolve_attention_plan(cfg, 4096) == (False, 128)
         # Training DEFAULT (use_pallas_bwd on): the kernel with the
         # flash-style Pallas backward at narrow-head 384..1024 (measured
         # train-step wins 1.21x/1.48x at 384/512 and 1.90x/2.00x at
