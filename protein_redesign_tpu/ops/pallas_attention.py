@@ -129,6 +129,12 @@ def _make_rowhead_kernel(RB: int):
 # BASELINE.md long-context table). PRD_KCHUNK_MIN_N lowers the switch
 # point (benchmark sweeps; process-lifetime, like the other knobs).
 ROWS_KCHUNK_MIN_N = int(os.environ.get("PRD_KCHUNK_MIN_N", 2048))
+# f32 operands switch to the K-chunked kernel a rung earlier: the
+# full-key kernel's per-row [N,N] VMEM buffering doubles at f32 and is
+# measured SLOWER at N=1024 (406.7 ms full-key vs 323.8 ms K-chunked CN,
+# round-3 probe) — bf16 keeps the full-key kernel through 1024 (323 ms
+# vs 679 ms, BASELINE.md).
+ROWS_KCHUNK_MIN_N_F32 = int(os.environ.get("PRD_KCHUNK_MIN_N_F32", 1024))
 KCHUNK = 256
 
 # Benchmark-sweep knobs, read ONCE at import: they are part of no jit
@@ -394,8 +400,11 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
 
     qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
     R, H, N, C = qt.shape
+    kchunk_min_n = ROWS_KCHUNK_MIN_N
+    if qt.dtype == jnp.float32:
+        kchunk_min_n = min(kchunk_min_n, ROWS_KCHUNK_MIN_N_F32)
     kc = 0
-    if N >= ROWS_KCHUNK_MIN_N:
+    if N >= kchunk_min_n:
         # Largest chunk divisor <= the target; buckets are multiples of
         # 128 so the ladder always finds one for auto-selected shapes.
         # PRD_KCHUNK overrides the chunk target (benchmark sweeps).
