@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--splits", nargs="+",
                         default=["train", "val", "test"])
     parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--limit", type=int, default=0,
+                        help="preprocess only the first N ids (shard "
+                             "smoke runs; 0 = all)")
     args = parser.parse_args(argv)
 
     from ..chem.mol import mol_from_file
@@ -42,6 +45,8 @@ def main(argv=None):
     pdb_ids = []
     for split in args.splits:
         pdb_ids.extend(load_split_ids(args.data_dir, split))
+    if args.limit:
+        pdb_ids = pdb_ids[:args.limit]
 
     embedder = ESMEmbedder(model_name=args.esm_model,
                            backend=args.esm_backend,
