@@ -216,6 +216,9 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0,
                    help="preprocess only the first N complexes")
     args = p.parse_args(argv)
+    from protein_redesign_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # PRD_PLATFORM=cpu runs the kit off-TPU
     steps = {
         "esm2": fetch_esm2,
         "prd_ckpt": fetch_prd_ckpt,
