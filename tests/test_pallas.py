@@ -930,3 +930,37 @@ class TestTrimulDmajorLayout:
         o2 = m2.apply(params, b, z, seq, mask, t)
         np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestF32KChunkThreshold:
+    def test_f32_switches_to_kchunk_earlier(self, monkeypatch):
+        """f32 operands take the K-chunked kernel from
+        ROWS_KCHUNK_MIN_N_F32 (measured 1.26x at N=1024) while bf16
+        keeps the full-key kernel until ROWS_KCHUNK_MIN_N."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 2048)
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N_F32", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        calls = []
+        orig = pa._rows_attention_kchunk_grid_cn
+
+        def spy(*a, **kw):
+            calls.append("cn")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pa, "_rows_attention_kchunk_grid_cn", spy)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True)
+        assert calls == ["cn"]  # f32 -> K-chunked CN path
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+        calls.clear()
+        out16 = fused_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), mask, None, 0.35, True,
+        )
+        assert calls == []  # bf16 below ROWS_KCHUNK_MIN_N -> full-key
+        assert np.isfinite(np.asarray(out16, np.float32)).all()
