@@ -217,6 +217,51 @@ def cmd_roofline(args):
             pf_fl, f"pair-transition N={N}")
 
 
+def cmd_rbsweep(args):
+    """Full-key rows kernel row-block sweep (PRD_ROWS_RB, import-time —
+    the chain runs each point in a fresh process): denoiser fwd at
+    N=384/512 h16x4. Isolated-kernel MFU is ~3.4% (roofline probe);
+    fewer/bigger programs may close some of the 4.7x gap to the
+    C=16-format-bound SOL."""
+    import protein_redesign_tpu.ops.pallas_attention as pa
+
+    cfg = BASE.replace(use_pallas=True)
+    tag = f"RB={pa._ROWS_RB_CAP}"
+    fwd_bench(cfg, 384, 320, iters=20, label=f"rbsweep {tag}")
+    fwd_bench(cfg, 512, 420, iters=12, label=f"rbsweep {tag}")
+
+
+def cmd_serve2048(args):
+    """End-to-end DDIM-50 segmented serving at N=2048 on the CN kernel
+    (round-2 measured 276.7 s on chunk-128; projection ~82 s). 10
+    segments keep each dispatch under the worker's ~1 min ceiling."""
+    from protein_redesign_tpu.chem import (
+        mol_from_smiles,
+        protein_from_sequence,
+        update_mol_positions,
+    )
+    from protein_redesign_tpu.cli.common import SamplingRunner
+    from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+
+    model = ProteinReDiffModel(BASE.replace(training_mode=False))
+    params = shared_params(BASE)
+    runner = SamplingRunner(model, params, mask_prob=0.3, sampler="ddim",
+                            ddim_steps=50, segments=10)
+    mol = update_mol_positions(mol_from_smiles("CCO"), np.zeros((3, 3)))
+    prot = protein_from_sequence("A" * 1900)
+    data = {**ligand_to_data(mol),
+            **protein_to_data(prot, esm_dim=BASE.esm_dim)}
+    t0 = time.perf_counter()
+    out = runner.run([data], jax.random.PRNGKey(0))
+    cold = time.perf_counter() - t0
+    assert np.isfinite(out[0][0]).all()
+    t0 = time.perf_counter()
+    runner.run([data], jax.random.PRNGKey(1))
+    warm = time.perf_counter() - t0
+    print(f"[serve2048] DDIM-50 segmented, N=2048: {warm:.1f} s "
+          f"steady-state (cold incl. compile {cold:.1f} s)", flush=True)
+
+
 def cmd_trimul(args):
     for bucket in (384, 512):
         for dm in (False, True):
@@ -291,13 +336,16 @@ def main():
     sub.add_parser("k2048")
     sub.add_parser("f32_1024")
     sub.add_parser("roofline")
+    sub.add_parser("rbsweep")
+    sub.add_parser("serve2048")
     fb = sub.add_parser("flashbwd")
     fb.add_argument("--bucket", type=int, default=768)
     args = p.parse_args()
     enable_compilation_cache()
     {"trimul": cmd_trimul, "k2048": cmd_k2048,
      "f32_1024": cmd_f32_1024, "flashbwd": cmd_flashbwd,
-     "roofline": cmd_roofline}[args.cmd](args)
+     "roofline": cmd_roofline, "rbsweep": cmd_rbsweep,
+     "serve2048": cmd_serve2048}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -144,6 +144,11 @@ KCHUNK = 256
 _KCHUNK_ENV = os.environ.get("PRD_KCHUNK")
 _KCHUNK_TARGET = int(_KCHUNK_ENV) if _KCHUNK_ENV else KCHUNK
 _KCHUNK_RB_CAP = int(os.environ.get("PRD_KCHUNK_RB", 2))
+# Full-key rows kernel row-block cap (sweep knob): the default 8 yields
+# grid (R/8, H) — at N=384 that is 192 small programs and the isolated
+# kernel runs at ~3.4% MFU (round-3 roofline probe); larger RB = fewer,
+# bigger programs (VMEM: RB x [N,N] f32 logits, 100 MB grant).
+_ROWS_RB_CAP = int(os.environ.get("PRD_ROWS_RB", 8))
 _KCHUNK_GRID = os.environ.get("PRD_KCHUNK_GRID", "1") != "0"
 # CN operand layout for the grid variant: operands/output as [R,H,C,N]
 # (N minor). The [R,H,N,C] layout's C=16 minor dim is lane-padded 16->128
@@ -431,7 +436,9 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
     if kchunked:
         rb_cands = tuple(c for c in (2, 1) if c <= _KCHUNK_RB_CAP)
     else:
-        rb_cands = (8, 4, 2, 1)
+        rb_cands = tuple(dict.fromkeys(
+            c for c in (_ROWS_RB_CAP, 8, 4, 2, 1) if c <= _ROWS_RB_CAP
+        ))
     RB = 1
     for cand in rb_cands:
         if R % cand == 0:
