@@ -356,6 +356,259 @@ def _rows_attention_kchunk_grid_cn(qt, kt, vt, mask, kc, RB, interpret):
     return jnp.swapaxes(out_t, -1, -2)
 
 
+def _make_rowhead_kchunk_grid_cn_stats_kernel(RB: int):
+    """CN-layout grid K-chunked forward that ALSO emits the row softmax
+    stats ([1, N] per row-head): the flash backward's recompute pass.
+    Same online-softmax math as `_make_rowhead_kchunk_grid_cn_kernel`.
+
+    The stats are the row max `m` and `log s` SEPARATELY, not the single
+    lse = m + log s: padding rows have m = NEG_INF = -2^15, where one
+    f32 ulp is ~4e-3, so a fused lse would quantize log s and the
+    backward's recomputed uniform probs exp(logits - lse) would be off
+    by ~1e-3 relative (measured; dv of fully-masked rows). With the
+    split, the backward's (logits - m) cancellation is exact."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, m_ref, logs_ref,
+               m_scr, s_scr, acc_scr):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            s_scr[...] = jnp.zeros(s_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        for b in range(RB):
+            qT = q_ref[b, 0]         # [C, N]
+            kT = k_ref[b, 0]         # [C, KC]
+            vT = v_ref[b, 0]         # [C, KC]
+            mk = mask_ref[b, 0]      # [KC]
+            logitsT = jax.lax.dot_general(
+                kT, qT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                        # [KC, N]
+            logitsT = jnp.where(mk[:, None] < 0.5, NEG_INF, logitsT)
+            m_run = m_scr[b]         # [1, N]
+            s_run = s_scr[b]
+            acc = acc_scr[b]         # [C, N]
+            m_new = jnp.maximum(
+                m_run, jnp.max(logitsT, axis=0, keepdims=True)
+            )
+            scale = jnp.exp(m_run - m_new)           # [1, N]
+            p = jnp.exp(logitsT - m_new)             # [KC, N]
+            m_scr[b] = m_new
+            s_scr[b] = s_run * scale + jnp.sum(p, axis=0, keepdims=True)
+            acc_scr[b] = acc * scale + jnp.dot(
+                vT, p.astype(vT.dtype), preferred_element_type=jnp.float32
+            )
+
+        @pl.when(j == pl.num_programs(2) - 1)
+        def _finalize():
+            for b in range(RB):
+                out_ref[b, 0] = (
+                    acc_scr[b] / s_scr[b]
+                ).astype(out_ref.dtype)
+                m_ref[b, 0] = m_scr[b]
+                logs_ref[b, 0] = jnp.log(s_scr[b])
+
+    return kernel
+
+
+def _kchunk_grid_cn_stats_call(qtt, ktt, vtt, mask, kc, RB, interpret):
+    """Stats pallas_call for the flash backward: operands ALREADY in CN
+    layout [R, H, C, N]. Returns (out_t [R,H,C,N], m [R,H,1,N] f32,
+    logs [R,H,1,N] f32) with lse = m + logs kept split (see the stats
+    kernel docstring)."""
+    R, H, C, N = qtt.shape
+    NK = N // kc
+    grid = (R // RB, H, NK)
+    out_t, m, logs = pl.pallas_call(
+        _make_rowhead_kchunk_grid_cn_stats_kernel(RB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB, 1, C, N), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, C, kc), lambda i, h, j: (i, h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, C, kc), lambda i, h, j: (i, h, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, kc), lambda i, h, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((RB, 1, C, N), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, 1, N), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1, 1, N), lambda i, h, j: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H, C, N), qtt.dtype),
+            jax.ShapeDtypeStruct((R, H, 1, N), jnp.float32),
+            jax.ShapeDtypeStruct((R, H, 1, N), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((RB, 1, N), jnp.float32),
+            pltpu.VMEM((RB, 1, N), jnp.float32),
+            pltpu.VMEM((RB, C, N), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * N * N * C,
+            bytes_accessed=8 * R * N * H * C,
+            transcendentals=R * H * N * N,
+        ),
+    )(qtt, ktt, vtt, mask[:, None, :])
+    return out_t, m, logs
+
+
+def _make_rowhead_kchunk_grid_cn_bwd_kernel(RB: int):
+    """CN-layout K-chunked flash backward: grid (R//RB, H, NK). Probs are
+    recomputed per key chunk from the stats pass's split (m, log s)
+    stats (P^T = exp((L^T - m) - log s); split so padding rows at
+    m = NEG_INF keep full precision), so VMEM stays O(KC * N) — the
+    full-key backward's per-row
+    [N, N] f32 intermediates (67 MB at N=2048) never materialize, and
+    the CN operands keep HBM unpadded (the [R,H,N,C] layout's 8x lane
+    padding OOMed the chip at N=2048, see _KCHUNK_CN).
+
+    Gradient math (delta_i = dO_i . O_i = sum_j P_ij dP_ij):
+      dS^T = P^T * (dP^T - delta), zeroed at masked key rows (the
+      autodiff `where` filter — same semantics as the full-key backward
+      kernel: a fully-masked row's uniform probs still feed dv, but its
+      dq/dk are exactly zero);
+      dv^T_kc = g^T P^T_kc^T, dk^T_kc = q^T dS^T_kc^T (per-chunk
+      outputs), dq^T += k^T_kc dS^T_kc (VMEM accumulator across the
+      sequential k-chunk grid axis)."""
+
+    def kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, m_ref, logs_ref,
+               delta_ref, dq_ref, dk_ref, dv_ref, dq_scr):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+        for b in range(RB):
+            qT = q_ref[b, 0]          # [C, N] (pre-scaled q)
+            kT = k_ref[b, 0]          # [C, KC]
+            vT = v_ref[b, 0]          # [C, KC]
+            mk = mask_ref[b, 0]       # [KC]
+            gT = g_ref[b, 0]          # [C, N] (dO)
+            m = m_ref[b, 0]           # [1, N] f32
+            logs = logs_ref[b, 0]     # [1, N] f32
+            delta = delta_ref[b, 0]   # [1, N] f32
+            logitsT = jax.lax.dot_general(
+                kT, qT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                         # [KC, N]
+            logitsT = jnp.where(mk[:, None] < 0.5, NEG_INF, logitsT)
+            pT = jnp.exp((logitsT - m) - logs)       # [KC, N] f32
+            dpT = jax.lax.dot_general(
+                vT, gT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                         # [KC, N]
+            dsT = pT * (dpT - delta)
+            dsT = jnp.where(mk[:, None] < 0.5, 0.0, dsT)
+            pTc = pT.astype(vT.dtype)
+            dsTc = dsT.astype(qT.dtype)
+            # dv^T[c, kc] = sum_n g^T[c, n] P^T[kc, n]
+            dv_ref[b, 0] = jax.lax.dot_general(
+                gT, pTc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            # dk^T[c, kc] = sum_n q^T[c, n] dS^T[kc, n]
+            dk_ref[b, 0] = jax.lax.dot_general(
+                qT, dsTc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+            # dq^T[c, n] += sum_kc k^T[c, kc] dS^T[kc, n]
+            dq_scr[b] = dq_scr[b] + jnp.dot(
+                kT, dsTc, preferred_element_type=jnp.float32
+            )
+
+        @pl.when(j == pl.num_programs(2) - 1)
+        def _fin():
+            for b in range(RB):
+                dq_ref[b, 0] = dq_scr[b].astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _rows_attention_kchunk_bwd_cn(qt, kt, vt, mask, gt, kc, RB, interpret):
+    """Flash backward for the K-chunked regime (N >= the kchunk switch
+    point, where the full-key backward's [N,N] VMEM blocks and NC-minor
+    HBM padding both stop fitting). Two passes, both O(KC*N) VMEM on
+    unpadded CN operands: (1) stats recompute (forward + split m/log s
+    row stats), (2) the
+    gradient kernel. Inputs/outputs in [R, H, N, C] like the full-key
+    backward; dq is w.r.t. the PRE-SCALED q."""
+    R, H, N, C = qt.shape
+    qtt = jnp.swapaxes(qt, -1, -2)
+    ktt = jnp.swapaxes(kt, -1, -2)
+    vtt = jnp.swapaxes(vt, -1, -2)
+    gtt = jnp.swapaxes(gt, -1, -2)
+    out_t, m, logs = _kchunk_grid_cn_stats_call(
+        qtt, ktt, vtt, mask, kc, RB, interpret
+    )
+    # delta_i = dO_i . O_i (f32; cheap XLA reduction over C)
+    delta = jnp.sum(
+        gtt.astype(jnp.float32) * out_t.astype(jnp.float32),
+        axis=2, keepdims=True,
+    )                                 # [R, H, 1, N]
+    NK = N // kc
+    grid = (R // RB, H, NK)
+    full_spec = pl.BlockSpec(
+        (RB, 1, C, N), lambda i, h, j: (i, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    chunk_spec = pl.BlockSpec(
+        (RB, 1, C, kc), lambda i, h, j: (i, h, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (RB, 1, 1, N), lambda i, h, j: (i, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq_t, dk_t, dv_t = pl.pallas_call(
+        _make_rowhead_kchunk_grid_cn_bwd_kernel(RB),
+        grid=grid,
+        in_specs=[
+            full_spec, chunk_spec, chunk_spec,
+            pl.BlockSpec((RB, 1, kc), lambda i, h, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            full_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=(full_spec, chunk_spec, chunk_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H, C, N), qt.dtype),
+            jax.ShapeDtypeStruct((R, H, C, N), kt.dtype),
+            jax.ShapeDtypeStruct((R, H, C, N), vt.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((RB, C, N), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * R * H * N * N * C,
+            bytes_accessed=16 * R * N * H * C,
+            transcendentals=2 * R * H * N * N,
+        ),
+    )(qtt, ktt, vtt, mask[:, None, :], gtt, m, logs, delta)
+    return (
+        jnp.swapaxes(dq_t, -1, -2),
+        jnp.swapaxes(dk_t, -1, -2),
+        jnp.swapaxes(dv_t, -1, -2),
+    )
+
+
 def _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB, interpret):
     """pallas_call wrapper for the grid-variant K-chunked kernel."""
     R, H, N, C = qt.shape
@@ -400,13 +653,12 @@ def _rows_attention_kchunk_grid(qt, kt, vt, mask, kc, RB, interpret):
     return out
 
 
-def _rows_attention_impl(qt, kt, vt, mask, interpret):
-    """No-bias masked attention via the row-blocked kernel.
-
-    qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
-    R, H, N, C = qt.shape
+def _kchunk_select(N, dtype):
+    """Chunk size for the K-chunked online-softmax regime, or 0 for the
+    full-key kernels. Shared by the forward and the flash backward so
+    both sides of a custom VJP land in the same regime."""
     kchunk_min_n = ROWS_KCHUNK_MIN_N
-    if qt.dtype == jnp.float32:
+    if dtype == jnp.float32:
         kchunk_min_n = min(kchunk_min_n, ROWS_KCHUNK_MIN_N_F32)
     kc = 0
     if N >= kchunk_min_n:
@@ -427,14 +679,30 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
                 f"PRD_KCHUNK={_KCHUNK_ENV}: no chunk in its /2/4/8 "
                 f"ladder divides N={N}; pick a divisor of N"
             )
+    return kc
+
+
+def _kchunk_rb(R):
+    """Row block for the K-chunked kernels: their unrolled rows each
+    hold live online-softmax carries ([N,1] m/s pad to [N,128] lanes +
+    the [N,C] accumulator); at RB=8 and N>=1024 those plus grid
+    double-buffering blow the scoped-VMEM budget (compile fails at any
+    grid > (1,1)) — cap RB. PRD_KCHUNK_RB caps it (benchmark sweeps)."""
+    for cand in (c for c in (2, 1) if c <= _KCHUNK_RB_CAP):
+        if R % cand == 0:
+            return cand
+    return 1
+
+
+def _rows_attention_impl(qt, kt, vt, mask, interpret):
+    """No-bias masked attention via the row-blocked kernel.
+
+    qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
+    R, H, N, C = qt.shape
+    kc = _kchunk_select(N, qt.dtype)
     kchunked = kc > 0
-    # The K-chunked kernel's unrolled rows each hold live online-softmax
-    # carries ([N,1] m/s pad to [N,128] lanes + the [N,C] accumulator);
-    # at RB=8 and N>=1024 those plus grid double-buffering blow the
-    # scoped-VMEM budget (compile fails at any grid > (1,1)) — cap RB.
-    # PRD_KCHUNK_RB caps the K-chunked row block (benchmark sweeps).
     if kchunked:
-        rb_cands = tuple(c for c in (2, 1) if c <= _KCHUNK_RB_CAP)
+        rb_cands = (_kchunk_rb(R),)
     else:
         rb_cands = tuple(dict.fromkeys(
             c for c in (_ROWS_RB_CAP, 8, 4, 2, 1) if c <= _ROWS_RB_CAP
@@ -532,11 +800,20 @@ def _make_rowhead_bwd_kernel(RB: int):
 
 
 def _rows_attention_bwd_impl(qt, kt, vt, mask, gt, interpret):
-    """Backward pallas_call for `_rows_attention` (full-key rows only;
-    N >= ROWS_KCHUNK_MIN_N keeps the einsum VJP — see fused_attention's
-    `kernel_bwd` gate). Returns (dqt, dkt, dvt) in [R, H, N, C] layout,
-    dqt w.r.t. the PRE-SCALED q."""
+    """Backward pallas_call for `_rows_attention`. Mirrors the forward's
+    regime split (`_kchunk_select`): below the K-chunk switch point the
+    full-key kernel recomputes each row block's [N, N] probs in VMEM;
+    at/above it the CN-layout K-chunked flash backward takes over
+    (`_rows_attention_kchunk_bwd_cn` — stats pass + O(KC*N)-VMEM
+    gradient kernel on unpadded [R,H,C,N] operands). Returns
+    (dqt, dkt, dvt) in [R, H, N, C] layout, dqt w.r.t. the PRE-SCALED
+    q."""
     R, H, N, C = qt.shape
+    kc = _kchunk_select(N, qt.dtype)
+    if kc > 0:
+        return _rows_attention_kchunk_bwd_cn(
+            qt, kt, vt, mask, gt, kc, _kchunk_rb(R), interpret
+        )
     # Four live [N, N] f32 intermediates per unrolled row (logits/probs
     # reuse aside: budget conservatively) — pick the largest row block
     # that stays within ~64 MB so the 100 MB grant also covers grid
@@ -1007,11 +1284,10 @@ def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):
 def _bwd(scale, interpret, kernel_bwd, residuals, g):
     q, k, v, mask, bias = residuals
 
-    flashable = (
-        bias is None
-        and mask is not None
-        and q.shape[-3] < ROWS_KCHUNK_MIN_N
-    )
+    # The rows backward covers BOTH kernel regimes: full-key below the
+    # K-chunk switch point, the CN-layout K-chunked flash backward
+    # at/above it (matching the forward's _kchunk_select split).
+    flashable = bias is None and mask is not None
     if flashable and not kernel_bwd:
         # A caller differentiating an inference-mode model (kernel fwd,
         # kernel_bwd off) silently pays the einsum VJP, which
@@ -1029,9 +1305,8 @@ def _bwd(scale, interpret, kernel_bwd, residuals, g):
             stacklevel=2,
         )
     if kernel_bwd and flashable:
-        # Flash-style backward in VMEM (same rows-kernel regime as the
-        # forward; beyond ROWS_KCHUNK_MIN_N the per-row [N, N] blocks no
-        # longer fit and training uses chunked attention anyway).
+        # Flash-style backward in VMEM (same rows-kernel regime split as
+        # the forward — full-key or CN K-chunked via _kchunk_select).
         qt = jnp.swapaxes(q, 1, 2) * scale
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)

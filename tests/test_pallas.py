@@ -335,6 +335,94 @@ class TestRowsKernelBackward:
             )
 
 
+class TestKChunkedFlashBackward:
+    """CN-layout K-chunked flash backward (the N >= kchunk-switch-point
+    regime, where the full-key backward's per-row [N,N] f32 VMEM blocks
+    and NC-minor HBM padding both stop fitting — the N=2048 training
+    rung). Probs are recomputed per key chunk from a stats pass's lse;
+    gradients must match the einsum-reference VJP."""
+
+    def _patch(self, monkeypatch):
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", True)
+        monkeypatch.setattr(pa, "_KCHUNK_CN", True)
+        return pa
+
+    def _grads(self, q, k, v, mask, kernel_bwd):
+        def f(q, k, v):
+            out = fused_attention(
+                q, k, v, mask, None, 0.35, True, kernel_bwd
+            )
+            return jnp.sum(jnp.cos(out))
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    def test_grads_match_einsum_vjp(self, monkeypatch):
+        self._patch(monkeypatch)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        g_kern = self._grads(q, k, v, mask, True)
+        g_ref = self._grads(q, k, v, mask, False)
+        for a, b in zip(g_kern, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+    def test_fully_masked_row_grads(self, monkeypatch):
+        """A fully-masked row: uniform probs still feed dv (reference
+        semantics) but dq/dk must be exactly zero for that row (the
+        autodiff `where` filter)."""
+        self._patch(monkeypatch)
+        q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
+        mask = mask.at[0].set(0.0)
+        g_kern = self._grads(q, k, v, mask, True)
+        g_ref = self._grads(q, k, v, mask, False)
+        for a, b in zip(g_kern, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+        np.testing.assert_array_equal(np.asarray(g_kern[0][0]), 0.0)
+        np.testing.assert_array_equal(np.asarray(g_kern[1][0]), 0.0)
+
+    def test_dispatches_to_kchunk_bwd(self, monkeypatch):
+        """The rows backward mirrors the forward's regime split: at
+        N >= the switch point it must take the CN K-chunked backward,
+        below it the full-key kernel."""
+        pa = self._patch(monkeypatch)
+        calls = []
+        orig = pa._rows_attention_kchunk_bwd_cn
+
+        def spy(*args, **kw):
+            calls.append(args[0].shape)
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(pa, "_rows_attention_kchunk_bwd_cn", spy)
+        q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
+        self._grads(q, k, v, mask, True)
+        assert calls  # N=32 >= patched switch point -> K-chunked bwd
+        calls.clear()
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 64)
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N_F32", 64)
+        self._grads(q, k, v, mask, True)
+        assert calls == []  # below it -> full-key backward
+
+    def test_bf16_grads_close(self, monkeypatch):
+        """bf16 operands (the training compute dtype) through the
+        K-chunked backward vs the einsum VJP at bf16 tolerance."""
+        self._patch(monkeypatch)
+        q, k, v, mask, _ = rand_qkv(R=2, N=32, H=2, C=8)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        g_kern = self._grads(q, k, v, mask, True)
+        g_ref = self._grads(q, k, v, mask, False)
+        for a, b in zip(g_kern, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=2e-2, rtol=2e-2,
+            )
+
+
 class TestShardedKernels:
     """custom_partitioning wrappers: the attention kernels shard over
     their rows axis under a mesh (each device runs the kernel on its

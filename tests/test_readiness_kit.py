@@ -2,7 +2,10 @@
 that can run offline must run NOW, so the day egress exists only the
 downloads themselves are untested (VERDICT r2 #5)."""
 
+import importlib.util
 import json
+import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -11,7 +14,20 @@ from tests.test_preprocess_cli import pdbbind_layout  # noqa: F401
 
 
 def _kit(tmp_path, monkeypatch):
-    import scripts.fetch_real_assets as kit
+    # Load by file path: `scripts/` is a namespace package (no
+    # __init__.py), and earlier tests in a full-suite run can poison the
+    # cached `scripts` namespace portion (observed: ModuleNotFoundError
+    # for scripts.fetch_real_assets after 234 green tests), so a plain
+    # `import scripts.fetch_real_assets` is order-dependent.
+    kit = sys.modules.get("_fetch_real_assets_kit")
+    if kit is None:
+        path = Path(__file__).resolve().parents[1] / "scripts" / \
+            "fetch_real_assets.py"
+        spec = importlib.util.spec_from_file_location(
+            "_fetch_real_assets_kit", path)
+        kit = importlib.util.module_from_spec(spec)
+        sys.modules["_fetch_real_assets_kit"] = kit
+        spec.loader.exec_module(kit)
 
     monkeypatch.setattr(kit, "OUT_ROOT", tmp_path / "assets")
     monkeypatch.setattr(kit, "MANIFEST",
