@@ -26,18 +26,32 @@ from ..utils.platform import apply_platform_override
 apply_platform_override()
 
 
-def _maybe_init_distributed():  # pragma: no cover - needs a real cluster
+def _maybe_init_distributed():
     """Multi-host init. MUST run before any backend-touching jax call:
     ``jax.process_count()`` itself initializes XLA, after which
     ``jax.distributed.initialize()`` raises — and on clusters where
     peers are only discoverable THROUGH initialize(), process_count()
     would still read 1 and a conditional gate would silently train each
-    host independently. Opt in via the standard cluster signals."""
+    host independently. Opt in via the standard cluster signals, or —
+    for manual/bare-metal clusters jax cannot auto-detect (no Slurm /
+    OMPI / TPU metadata; also the 2-process CPU-gloo path
+    tests/test_multihost.py executes for real) — via explicit
+    ``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+    ``JAX_PROCESS_ID``."""
     import os
 
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if coord and nproc and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+        return
     slurm = int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1)
     ompi = int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1)
     tpu_hosts = [
@@ -45,7 +59,7 @@ def _maybe_init_distributed():  # pragma: no cover - needs a real cluster
         if h.strip()
     ]
     if coord or slurm > 1 or ompi > 1 or len(tpu_hosts) > 1:
-        jax.distributed.initialize()
+        jax.distributed.initialize()  # pragma: no cover - real cluster
 
 
 def main(argv=None):
@@ -81,7 +95,13 @@ def main(argv=None):
     from ..data.dataset import PDBDataset, load_split_ids
     from ..data.pipeline import batches, prefetch
     from ..models.prdiff import ProteinReDiffModel
-    from ..parallel.mesh import make_mesh, param_sharding, replicated
+    from ..parallel.mesh import (
+        DATA_AXIS,
+        host_scalar,
+        make_mesh,
+        param_sharding,
+        replicated,
+    )
     from ..parallel.train_step import (
         make_eval_step,
         make_train_state,
@@ -104,28 +124,58 @@ def main(argv=None):
                 )
         shutil.rmtree(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
-    logger = MetricsLogger(save_dir)
+    logger = MetricsLogger(save_dir, enabled=jax.process_index() == 0)
 
     devices = jax.devices()
+    n_procs = jax.process_count()
     if train_cfg.num_devices > 0:
-        devices = devices[: train_cfg.num_devices]
+        if n_procs > 1:
+            # Per-process slice: a flat devices[:n] cut takes process
+            # 0's devices first (jax.devices() orders by process) and
+            # leaves later processes meshes made entirely of devices
+            # they cannot address (measured: their jit outputs are
+            # unreadable and training wedges at the first host fetch).
+            if train_cfg.num_devices % n_procs:
+                raise SystemExit(
+                    f"--num_devices {train_cfg.num_devices} must be a "
+                    f"multiple of the process count {n_procs}"
+                )
+            per = train_cfg.num_devices // n_procs
+            devices = [
+                d for p in range(n_procs)
+                for d in [x for x in devices if x.process_index == p][:per]
+            ]
+        else:
+            devices = devices[: train_cfg.num_devices]
     if train_cfg.mesh_shape is None:
-        # Data axis must divide the per-step batch (the reference's DDP
-        # has the same constraint, one sample slice per rank): take the
-        # LARGEST divisor of batch_size that fits the device count (gcd
-        # would drop devices — batch_size=5 on 8 devices can use 5).
-        d_axis = max(
-            d for d in range(1, len(devices) + 1)
-            if data_cfg.batch_size % d == 0
+        # Data axis must divide the per-step GLOBAL batch — each host
+        # contributes batch_size rows, so that's batch_size * n_procs
+        # (the reference's DDP has the same constraint, one sample slice
+        # per rank): take the LARGEST divisor that fits the device count
+        # (gcd would drop devices — batch_size=5 on 8 devices can use
+        # 5). On multi-host the shrink must stay SYMMETRIC: every
+        # process keeps an equal number of its own devices.
+        n_local = min(
+            sum(1 for d in devices if d.process_index == p)
+            for p in range(n_procs)
         )
+        global_batch = data_cfg.batch_size * n_procs
+        per = max(
+            k for k in range(1, n_local + 1)
+            if global_batch % (k * n_procs) == 0
+        )
+        d_axis = per * n_procs
         if d_axis < len(devices):
             print(
                 f"warning: data-parallel over {d_axis}/{len(devices)} "
-                f"devices (the data axis must divide "
-                f"batch_size={data_cfg.batch_size}; pass --mesh_shape "
-                f"or adjust --batch_size to use every chip)"
+                f"devices (the data axis must divide the global batch "
+                f"{global_batch}; pass --mesh_shape or adjust "
+                f"--batch_size to use every chip)"
             )
-        devices = devices[:d_axis]
+        devices = [
+            d for p in range(n_procs)
+            for d in [x for x in devices if x.process_index == p][:per]
+        ]
         mesh = make_mesh(devices, (d_axis, 1))
     else:
         mesh = make_mesh(devices, train_cfg.mesh_shape)
@@ -200,7 +250,8 @@ def main(argv=None):
         )
         cfg = cfg_loaded.replace(training_mode=True)
         model = ProteinReDiffModel(cfg)
-        print(f"resumed from {args.trained_ckpt} at step {int(state.step)}")
+        print(f"resumed from {args.trained_ckpt} at step "
+              f"{int(host_scalar(state.step))}")
     else:
         state = make_train_state(model, train_cfg, key, sample)
 
@@ -229,6 +280,10 @@ def main(argv=None):
         in_shardings=(state_shardings,
                       {k: NamedSharding(mesh, P("data")) for k in sample},
                       replicated(mesh)),
+        # Replicate the per-sample losses: multi-host validation reads
+        # them on EVERY host (np.asarray of a data-sharded global array
+        # would raise; the all-gather is a few floats).
+        out_shardings=replicated(mesh),
     )
 
     manager = make_manager(save_dir / "checkpoints", train_cfg.checkpoint_top_k)
@@ -245,10 +300,27 @@ def main(argv=None):
 
     # Device-resident validation batches: transferred once, reused across
     # repeats and validations (the eval key, not the batch, provides the
-    # (t, mask) variation).
+    # (t, mask) variation). Validation is deliberately UNSHARDED across
+    # hosts (every host computes the same val_loss for identical
+    # checkpoint decisions), so on a multi-host mesh the data axis can
+    # exceed the val batch — pad with repeated rows to the next multiple
+    # (val_real_counts below already slices the padding back off).
     val_sharding = NamedSharding(mesh, P("data"))
+    d_axis = mesh.shape[DATA_AXIS]
+
+    def _pad_rows(b):
+        n = next(iter(b.values())).shape[0]
+        m = (-n) % d_axis
+        if not m:
+            return b
+        return {
+            k: np.concatenate([v, np.repeat(v[-1:], m, axis=0)], axis=0)
+            for k, v in b.items()
+        }
+
     val_batches = [
-        {k: jax.device_put(v, val_sharding) for k, v in wire(vb).items()}
+        {k: jax.device_put(v, val_sharding)
+         for k, v in _pad_rows(wire(vb)).items()}
         for vb in batches(val_ds, data_cfg.batch_size, data_cfg.buckets)
     ]
     # Groups are consecutive, so only the FINAL batch can be padded with
@@ -270,7 +342,7 @@ def main(argv=None):
                 losses.extend(per[: val_real_counts[i]].tolist())
         return float(np.mean(losses)) if losses else float("inf")
 
-    step = int(state.step)
+    step = int(host_scalar(state.step))
     epoch = 0
     stop = False
     # Graceful shutdown: clusters kill long runs (the reference resumes by
@@ -350,7 +422,8 @@ def main(argv=None):
                         "grad_norm": metrics["grad_norm"],
                         "epoch": epoch,
                     })
-                    print(f"step {step}: loss={float(metrics['loss']):.4f}")
+                    print(f"step {step}: "
+                          f"loss={host_scalar(metrics['loss']):.4f}")
                 if step % train_cfg.val_every_steps == 0:
                     val_loss = run_validation(jax.random.fold_in(key, step + 1_000_000_007))
                     logger.log(step, {"val_loss": val_loss})

@@ -53,6 +53,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_scalar(x: Any) -> Any:
+    """Python scalar from a replicated global array — multi-host-safe.
+
+    ``float(x)``/``int(x)`` on a ``jax.Array`` raises when the array
+    spans non-addressable devices (every metric/step counter does on a
+    multi-process mesh, even though each host holds the full value under
+    the replicated shardings the train CLI uses); read this host's first
+    addressable shard instead. Fully-addressable arrays and plain
+    numbers pass straight through."""
+    if getattr(x, "is_fully_addressable", True) is False:
+        x = x.addressable_shards[0].data
+    return np.asarray(x).item()
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -16,9 +16,16 @@ from typing import Any, Dict, Iterator, Optional, Union
 
 
 class MetricsLogger:
-    """Append-only JSONL + CSV metrics under <save_dir>/metrics.*"""
+    """Append-only JSONL + CSV metrics under <save_dir>/metrics.*
 
-    def __init__(self, save_dir: Union[str, Path]):
+    ``enabled=False`` turns every log() into a no-op: on multi-host
+    runs only process 0 may write (every host computes identical global
+    metrics, and hosts share the save dir on clustered filesystems —
+    unconditional appends interleave duplicate rows; the reference's
+    Lightning logger is rank-zero-only the same way)."""
+
+    def __init__(self, save_dir: Union[str, Path], enabled: bool = True):
+        self.enabled = enabled
         self.dir = Path(save_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.jsonl_path = self.dir / "metrics.jsonl"
@@ -27,6 +34,8 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
+        if not self.enabled:
+            return
         row = {
             "step": int(step),
             "time": round(time.time() - self._t0, 3),
@@ -46,6 +55,10 @@ class MetricsLogger:
 
 
 def _scalar(v: Any) -> Any:
+    # A replicated global array on a multi-process mesh refuses float();
+    # every host holds the value — read this host's shard.
+    if getattr(v, "is_fully_addressable", True) is False:
+        v = v.addressable_shards[0].data
     try:
         return float(v)
     except (TypeError, ValueError):

@@ -17,7 +17,25 @@ import jax
 
 
 def apply_platform_override() -> None:
-    """Honor ``PRD_PLATFORM`` (e.g. ``cpu``) before any backend init."""
+    """Honor ``PRD_PLATFORM`` (e.g. ``cpu``) before any backend init.
+
+    Companions for multi-process CPU runs (tests/test_multihost.py
+    drives the REAL 2-process path this way — gloo collectives over
+    localhost):
+
+    - ``PRD_CPU_DEVICES=n``: n virtual CPU devices per process
+      (``jax_num_cpu_devices``; unlike XLA_FLAGS it composes with a
+      parent pytest env that already forces a different count).
+    - ``PRD_CPU_COLLECTIVES=gloo|mpi``: cross-process CPU collective
+      implementation (``jax_cpu_collectives_implementation``) — without
+      it, multi-process CPU ``jax.distributed`` has no transport.
+    """
     plat = os.environ.get("PRD_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    n_cpu = os.environ.get("PRD_CPU_DEVICES")
+    if n_cpu:
+        jax.config.update("jax_num_cpu_devices", int(n_cpu))
+    coll = os.environ.get("PRD_CPU_COLLECTIVES")
+    if coll:
+        jax.config.update("jax_cpu_collectives_implementation", coll)
