@@ -53,6 +53,23 @@ def _worker_env(pid, port):
     return env
 
 
+def _launch(argv):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(argv, env=_worker_env(i, port), cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    return outs
+
+
 @pytest.mark.slow
 def test_two_process_train_cli(mini_data, tmp_path):  # noqa: F811
     save_dir = tmp_path / "run"
@@ -68,19 +85,7 @@ def test_two_process_train_cli(mini_data, tmp_path):  # noqa: F811
         "--max_steps", "2", "--val_every_steps", "10",
         "--log_every_steps", "1", "--seed", "0",
     ]
-    port = _free_port()
-    procs = [
-        subprocess.Popen(argv, env=_worker_env(i, port), cwd=REPO,
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                         text=True)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+    outs = _launch(argv)
 
     # Both processes saw the 4-device global mesh.
     for out in outs:
@@ -110,3 +115,17 @@ def test_two_process_train_cli(mini_data, tmp_path):  # noqa: F811
     # Multihost Orbax checkpoint committed (coordinated across ranks).
     ckpts = list((save_dir / "checkpoints").glob("*"))
     assert ckpts, "no checkpoint written"
+
+    # Resume leg: a second 2-process run restores the coordinated
+    # checkpoint on every host (multihost Orbax restore) and continues
+    # in lockstep.
+    outs2 = _launch(argv + ["--trained_ckpt",
+                            str(save_dir / "checkpoints"),
+                            "--max_steps", "4"])
+    for out in outs2:
+        assert re.search(r"resumed from .* at step 2", out), out
+    steps = [lines(o, r"^step \d+: loss=") for o in outs2]
+    assert steps[0] and steps[0] == steps[1], steps
+    assert steps[0][0].startswith("step 3:"), steps[0]
+    fin = [lines(o, r"final val_loss=") for o in outs2]
+    assert fin[0] and fin[0] == fin[1], fin
