@@ -1052,3 +1052,64 @@ class TestF32KChunkThreshold:
         )
         assert calls == []  # bf16 below ROWS_KCHUNK_MIN_N -> full-key
         assert np.isfinite(np.asarray(out16, np.float32)).all()
+
+
+class TestRandomizedKernelDifferential:
+    """Seeded randomized sweep over shapes / chunk configs / mask
+    patterns (incl. fully-masked rows and single-survivor rows) for BOTH
+    kernel regimes, forward and flash backward, against the einsum
+    reference and its VJP. The fixed-case tests above pin specific
+    regressions; this sweeps the configuration space the fixed cases
+    cannot enumerate."""
+
+    CASES = [
+        # (R, N, H, C, kchunk_min, kc_target, seed)
+        (2, 32, 1, 8, 16, 8, 11),
+        (4, 48, 2, 8, 16, 16, 12),   # kc=16 has no divisor of 48; ladder -> 8
+        (3, 64, 1, 16, 16, 32, 13),
+        (2, 64, 2, 8, 2048, 8, 14),  # full-key regime
+        (6, 16, 3, 4, 2048, 8, 15),  # full-key, odd row/head counts
+    ]
+
+    @pytest.mark.parametrize("R,N,H,C,min_n,kc,seed", CASES)
+    def test_fwd_and_grads_match_reference(self, monkeypatch,
+                                           R, N, H, C, min_n, kc, seed):
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", min_n)
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N_F32", min_n)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", kc)
+        monkeypatch.setattr(pa, "_KCHUNK_GRID", True)
+        monkeypatch.setattr(pa, "_KCHUNK_CN", True)
+
+        rng = np.random.RandomState(seed)
+        q, k, v = (jnp.asarray(rng.randn(R, N, H, C), jnp.float32)
+                   for _ in range(3))
+        mask = (rng.rand(R, N) > 0.3).astype(np.float32)
+        mask[0, :] = 0.0          # fully-masked row
+        if R > 1:
+            mask[1, :] = 0.0      # single-survivor row
+            mask[1, 0] = 1.0
+        mask = jnp.asarray(mask)
+        scale = 1.0 / np.sqrt(C)
+
+        out = fused_attention(q, k, v, mask, None, scale, True)
+        ref = _attention_reference(q, k, v, mask, None, scale)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+        def loss(fn):
+            def f(q, k, v):
+                return jnp.sum(jnp.sin(fn(q, k, v)))
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        g_kernel = loss(lambda q, k, v: fused_attention(
+            q, k, v, mask, None, scale, True, True))
+        g_ref = loss(lambda q, k, v: _attention_reference(
+            q, k, v, mask, None, scale))
+        for name, a, b in zip("dq dk dv".split(), g_kernel, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4,
+                err_msg=f"{name} R={R} N={N} H={H} C={C} min_n={min_n}",
+            )
