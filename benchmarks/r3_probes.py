@@ -11,6 +11,12 @@ Subcommands:
   f32_1024      forced-kernel forward at N=1024 with f32 activations
   flashbwd      train step at --bucket 768/1024, chunked vs forced
                 kernel + flash backward (VERDICT r2 #3)
+  attnbwd       standalone triangle-attention fwd+grad at --bucket N
+                (R = N rows): CN K-chunked flash backward vs the
+                query-chunked fallback's VJP. The FULL train step does
+                not compile at N=2048 on one chip (either attention
+                path — the pair stack's activations alone exceed HBM),
+                so the 2048 backward is proven at the op level
 
 Results -> BASELINE.md / resolve_attention_plan defaults.
 """
@@ -19,6 +25,10 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from protein_redesign_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()  # PRD_PLATFORM=cpu for off-chip smoke runs
 
 import jax
 import jax.numpy as jnp
@@ -329,6 +339,61 @@ def cmd_flashbwd(args):
                   f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
+def cmd_attnbwd(args):
+    from protein_redesign_tpu.ops.chunked_attention import chunked_attention
+    from protein_redesign_tpu.ops.pallas_attention import fused_attention
+
+    N = args.bucket
+    R, H, C = N, 4, 16
+    iters = 3
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs interpret
+    rng = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rng.randn(R, N, H, C), jnp.bfloat16)
+               for _ in range(3))
+    mask = jnp.asarray((rng.rand(R, N) > 0.1).astype(np.float32))
+    scale = 1.0 / np.sqrt(C)
+    # fwd ~4, flash bwd ~7 more matmul-equivalents per (row, key) cell
+    fl = 11 * R * H * N * N * C * 2 / 1e9  # GF per fwd+bwd
+
+    def legs():
+        yield "kernel+flashbwd", lambda q, k, v: fused_attention(
+            q, k, v, mask, None, scale, interp, True)
+        chunk = min(128, N)
+        yield f"chunked({chunk})", lambda q, k, v: chunked_attention(
+            q[None], k[None], v[None], mask[None], None, scale, chunk)
+
+    for tag, attn in legs():
+        def loss(q, k, v):
+            return jnp.sum(attn(q, k, v).astype(jnp.float32))
+
+        grad = jax.grad(loss, argnums=(0, 1, 2))
+
+        @jax.jit
+        def loop(q, k, v):
+            def body(carry, _):
+                dq, dk, dv = grad(*carry)
+                return (carry[0] + 1e-6 * dq.astype(carry[0].dtype),
+                        carry[1] + 1e-6 * dk.astype(carry[1].dtype),
+                        carry[2] + 1e-6 * dv.astype(carry[2].dtype)), None
+            out, _ = jax.lax.scan(body, (q, k, v), None, length=iters)
+            return out[0]
+
+        try:
+            c0 = time.perf_counter()
+            compiled = loop.lower(q, k, v).compile()
+            compile_s = time.perf_counter() - c0
+            timed_fetch(compiled, q, k, v)
+            d, _ = timed_fetch(compiled, q, k, v)
+            d2, _ = timed_fetch(compiled, q, k, v)
+            ms = min(d, d2) / iters * 1e3
+            print(f"[attnbwd {tag}] N={N}: {ms:.1f} ms/grad-step "
+                  f"(~{fl/ms:.1f} TF/s; compile {compile_s:.0f}s)",
+                  flush=True)
+        except Exception as e:
+            print(f"[attnbwd {tag}] N={N}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -340,12 +405,14 @@ def main():
     sub.add_parser("serve2048")
     fb = sub.add_parser("flashbwd")
     fb.add_argument("--bucket", type=int, default=768)
+    ab = sub.add_parser("attnbwd")
+    ab.add_argument("--bucket", type=int, default=2048)
     args = p.parse_args()
     enable_compilation_cache()
     {"trimul": cmd_trimul, "k2048": cmd_k2048,
      "f32_1024": cmd_f32_1024, "flashbwd": cmd_flashbwd,
      "roofline": cmd_roofline, "rbsweep": cmd_rbsweep,
-     "serve2048": cmd_serve2048}[args.cmd](args)
+     "serve2048": cmd_serve2048, "attnbwd": cmd_attnbwd}[args.cmd](args)
 
 
 if __name__ == "__main__":
