@@ -410,11 +410,17 @@ def _shard_complex_axis(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-# Kernel ceiling for TRAINING: the flash backward is compile-proven and
-# measured through N=1024 (BASELINE.md flash-backward rows); at 2048 its
-# per-row [N,N] f32 VMEM intermediates (~67 MB at RB=1) are unproven, so
-# training falls back to query-chunked attention there.
-PALLAS_AUTO_MAX_N = 2048
+# Kernel ceiling for TRAINING (inclusive): the flash backward is
+# compile-proven and measured through N=2048 — at the K-chunk switch
+# point (N >= 2048) the backward is the CN-layout K-chunked flash
+# kernel with O(KC*N) VMEM, measured 302.3 ms/grad-step (~40 TF/s) at
+# the op level where the query-chunked VJP FAILS to compile outright;
+# at N=1024 it is 3.47x the chunked VJP (52.5 vs 182.4 ms/grad-step)
+# (`r3_probes.py attnbwd`, BASELINE.md). NOTE the FULL train step at
+# 2048 exceeds one v5e's HBM either way (the pair stack's activations
+# alone) — the op-level gate matters for bigger-HBM chips and future
+# multi-device layouts.
+PALLAS_TRAIN_MAX_N = 2048
 # Kernel ceiling for INFERENCE: the whole data ladder. Round 3 fixed the
 # N=2048 failure — it was an HBM OOM from the NC-minor operand layouts'
 # 8x lane padding, not a compile limitation — with the CN-layout grid
@@ -424,7 +430,7 @@ PALLAS_AUTO_MAX_N = 2048
 PALLAS_INFER_MAX_N = 2048  # inclusive: kernel proven AT 2048
 # From this size up, the unchunked XLA lowering stops being viable
 # (~3.6 GB bf16 triangle logits at 768; fails to compile at 1024), so
-# non-kernel modes (training, sequence-parallel, n >= PALLAS_AUTO_MAX_N)
+# non-kernel modes (sequence-parallel, n > PALLAS_TRAIN_MAX_N)
 # fall back to query-chunked attention. Below it they keep plain XLA.
 LONGCTX_CHUNK_MIN_N = 768
 
@@ -454,7 +460,10 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
       caller differentiating an inference-mode model gets the einsum-VJP
       backward instead, which re-materializes the logits).
       Sequence-parallel keeps XLA/chunked (GSPMD cannot repartition the
-      kernel).
+      kernel). Training runs the kernel through N=2048 INCLUSIVE: in
+      the K-chunk regime the CN flash backward is the only path that
+      compiles at the op level (302.3 ms/grad-step at 2048 where the
+      chunked VJP fails; 3.47x at 1024 — `r3_probes.py attnbwd`).
     - long-context training / sequence-parallel: query-chunked attention
       (chunk 128) from N=768 up — per-chunk remat bounds the backward.
     - everything else: plain XLA while the unchunked triangle logits
@@ -479,16 +488,16 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     # step at the long-context rungs too — 1.90x at N=768 (681.9 vs
     # 1297.3 ms/step) and 2.00x at N=1024 (1464.4 vs 2935.2 ms/step)
     # over the chunked fallback, identical losses (BASELINE.md flash-
-    # backward long-context rows) — so the gate now runs to the kernel
-    # ceiling (PALLAS_AUTO_MAX_N; at 2048 the flash backward's per-row
-    # [N,N] VMEM logits stop fitting and chunked takes over).
+    # backward long-context rows) — and op-level at 2048 the CN
+    # K-chunked flash backward is the only compiling path, so the gate
+    # runs to PALLAS_TRAIN_MAX_N inclusive.
     trainable = (
         cfg.training_mode
         and cfg.use_pallas_bwd
         and not cfg.sequence_parallel
-        and n < PALLAS_AUTO_MAX_N
+        and n <= PALLAS_TRAIN_MAX_N
     )
-    ceiling = PALLAS_INFER_MAX_N + 1 if inference else PALLAS_AUTO_MAX_N
+    ceiling = (PALLAS_INFER_MAX_N if inference else PALLAS_TRAIN_MAX_N) + 1
     if (
         (inference or trainable)
         and cfg.head_dim < 32

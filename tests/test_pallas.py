@@ -561,17 +561,20 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(cfg, 2048) == (True, 0)
         assert resolve_attention_plan(cfg, 4096) == (False, 128)
         # Training DEFAULT (use_pallas_bwd on): the kernel with the
-        # flash-style Pallas backward at narrow-head 384..1024 (measured
+        # flash-style Pallas backward at narrow-head 384..2048 (measured
         # train-step wins 1.21x/1.48x at 384/512 and 1.90x/2.00x at
-        # 768/1024, BASELINE.md); chunked attention keeps N>=2048;
-        # plain XLA below 384.
+        # 768/1024; op-level at 2048 the CN K-chunked flash backward is
+        # the ONLY compiling path — 302.3 ms/grad-step where the chunked
+        # VJP fails, `r3_probes.py attnbwd`, BASELINE.md); chunked
+        # attention keeps N>2048; plain XLA below 384.
         train_cfg = cfg.replace(training_mode=True)
         assert resolve_attention_plan(train_cfg, 256) == (False, 0)
         assert resolve_attention_plan(train_cfg, 384) == (True, 0)
         assert resolve_attention_plan(train_cfg, 512) == (True, 0)
         assert resolve_attention_plan(train_cfg, 768) == (True, 0)
         assert resolve_attention_plan(train_cfg, 1024) == (True, 0)
-        assert resolve_attention_plan(train_cfg, 2048) == (False, 128)
+        assert resolve_attention_plan(train_cfg, 2048) == (True, 0)
+        assert resolve_attention_plan(train_cfg, 4096) == (False, 128)
         # Opt-out restores the round-1 behavior: plain XLA below 768
         # (unchunked fits), chunked from there up (per-chunk remat) —
         # the einsum-VJP backward re-materializes the logits, so the
