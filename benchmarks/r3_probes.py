@@ -100,8 +100,12 @@ def fwd_bench(cfg, bucket, n_res, iters, label):
         # Analytic model FLOPs: HLO cost analysis counts the scan body
         # once, so compiled_flops(program)/iters is NOT per-step.
         fl = denoiser_forward_flops(cfg, B, N)
+        # f32 matmuls run at half the v5e's bf16 peak (utils/flops.py).
+        from protein_redesign_tpu.utils.flops import PEAK_FLOPS_V5E
+
+        peak = PEAK_FLOPS_V5E / (2 if cfg.dtype == "float32" else 1)
         print(f"[{label}] fwd N={bucket}: {per*1e3:.2f} ms/step "
-              f"({fl/1e9:.1f} GF -> MFU {mfu(fl, per)*100:.1f}%; "
+              f"({fl/1e9:.1f} GF -> MFU {mfu(fl, per, peak)*100:.1f}%; "
               f"compile {compile_s:.0f}s)", flush=True)
         return per
     except Exception as e:

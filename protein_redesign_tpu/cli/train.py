@@ -45,11 +45,18 @@ def _maybe_init_distributed():
     )
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    if coord and nproc and pid is not None:
+    if coord and nproc and pid:
+        try:
+            nproc_i, pid_i = int(nproc), int(pid)
+        except ValueError:
+            raise SystemExit(
+                f"JAX_NUM_PROCESSES/JAX_PROCESS_ID must be integers "
+                f"(got {nproc!r}, {pid!r})"
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(pid),
+            num_processes=nproc_i,
+            process_id=pid_i,
         )
         return
     slurm = int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1)
@@ -122,7 +129,16 @@ def main(argv=None):
                     f"({args.trained_ckpt} is under {save_dir}); move the "
                     f"checkpoint out or drop --fresh"
                 )
-        shutil.rmtree(save_dir)
+        # Multi-host: hosts share the save dir on clustered filesystems.
+        # Only rank 0 deletes (concurrent rmtrees race each other and a
+        # slow host's rmtree would destroy rank 0's freshly recreated
+        # checkpoints/metrics); everyone barriers before recreating.
+        if jax.process_index() == 0:
+            shutil.rmtree(save_dir)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("prd_fresh_save_dir")
     save_dir.mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(save_dir, enabled=jax.process_index() == 0)
 

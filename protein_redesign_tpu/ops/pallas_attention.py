@@ -545,9 +545,14 @@ def _rows_attention_kchunk_bwd_cn(qt, kt, vt, mask, gt, kc, RB, interpret):
     point, where the full-key backward's [N,N] VMEM blocks and NC-minor
     HBM padding both stop fitting). Two passes, both O(KC*N) VMEM on
     unpadded CN operands: (1) stats recompute (forward + split m/log s
-    row stats), (2) the
-    gradient kernel. Inputs/outputs in [R, H, N, C] like the full-key
-    backward; dq is w.r.t. the PRE-SCALED q."""
+    row stats), (2) the gradient kernel. Inputs/outputs in [R, H, N, C]
+    like the full-key backward; dq is w.r.t. the PRE-SCALED q.
+
+    This no-stats entry is the fallback for bwd calls whose forward did
+    not stash stats (PRD_KCHUNK_GRID=0 / PRD_KCHUNK_CN=0 configurations,
+    or direct `_rows_attention_bwd` callers); the training default path
+    saves (out, m, log s) from the custom-vjp forward instead
+    (`_rows_attention_fwd_stats`) and skips this recompute pass."""
     R, H, N, C = qt.shape
     qtt = jnp.swapaxes(qt, -1, -2)
     ktt = jnp.swapaxes(kt, -1, -2)
@@ -561,6 +566,17 @@ def _rows_attention_kchunk_bwd_cn(qt, kt, vt, mask, gt, kc, RB, interpret):
         gtt.astype(jnp.float32) * out_t.astype(jnp.float32),
         axis=2, keepdims=True,
     )                                 # [R, H, 1, N]
+    return _kchunk_grid_cn_grads_call(
+        qtt, ktt, vtt, mask, gtt, m, logs, delta, kc, RB, interpret
+    )
+
+
+def _kchunk_grid_cn_grads_call(qtt, ktt, vtt, mask, gtt, m, logs, delta,
+                               kc, RB, interpret):
+    """The gradient pallas_call of the K-chunked flash backward: CN
+    operands [R,H,C,N], split stats m/logs and delta [R,H,1,N] f32.
+    Returns (dq, dk, dv) in [R, H, N, C]."""
+    R, H, C, N = qtt.shape
     NK = N // kc
     grid = (R // RB, H, NK)
     full_spec = pl.BlockSpec(
@@ -586,9 +602,9 @@ def _rows_attention_kchunk_bwd_cn(qt, kt, vt, mask, gt, kc, RB, interpret):
         ],
         out_specs=(full_spec, chunk_spec, chunk_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((R, H, C, N), qt.dtype),
-            jax.ShapeDtypeStruct((R, H, C, N), kt.dtype),
-            jax.ShapeDtypeStruct((R, H, C, N), vt.dtype),
+            jax.ShapeDtypeStruct((R, H, C, N), qtt.dtype),
+            jax.ShapeDtypeStruct((R, H, C, N), ktt.dtype),
+            jax.ShapeDtypeStruct((R, H, C, N), vtt.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((RB, C, N), jnp.float32)],
         interpret=interpret,
@@ -688,7 +704,10 @@ def _kchunk_rb(R):
     the [N,C] accumulator); at RB=8 and N>=1024 those plus grid
     double-buffering blow the scoped-VMEM budget (compile fails at any
     grid > (1,1)) — cap RB. PRD_KCHUNK_RB caps it (benchmark sweeps)."""
-    for cand in (c for c in (2, 1) if c <= _KCHUNK_RB_CAP):
+    cands = dict.fromkeys(
+        c for c in (_KCHUNK_RB_CAP, 2, 1) if 0 < c <= _KCHUNK_RB_CAP
+    )
+    for cand in cands:
         if R % cand == 0:
             return cand
     return 1
@@ -924,6 +943,106 @@ _rows_attention_bwd.def_partition(
     infer_sharding_from_operands=_rows_bwd_infer,
     sharding_rule=(
         "r h m c, r h n c, r h n c, r n, r h m c "
+        "-> r h m c, r h n c, r h n c"
+    ),
+)
+
+
+def _rows_attention_fwd_stats_impl(qt, kt, vt, mask, interpret):
+    """Forward for the K-chunked flash-backward regime: the CN stats
+    kernel emits (out, m, log s) in ONE pass so the custom-vjp forward
+    can stash them as residuals and the backward skips its stats
+    recompute — one full forward's QK/softmax/PV per grad step
+    (~4 of the ~15 N^2*C matmul-units of fwd+bwd) saved in the regime
+    where steps cost seconds (N>=2048; f32 N>=1024). Only called when
+    `_kchunk_select` > 0 and the CN grid variant is enabled.
+
+    qt/kt/vt: [R, H, N, C] (q pre-scaled); mask [R, N].
+    Returns (out [R,H,N,C], m [R,H,N] f32, log s [R,H,N] f32)."""
+    R, H, N, C = qt.shape
+    kc = _kchunk_select(N, qt.dtype)
+    RB = _kchunk_rb(R)
+    out_t, m, logs = _kchunk_grid_cn_stats_call(
+        jnp.swapaxes(qt, -1, -2),
+        jnp.swapaxes(kt, -1, -2),
+        jnp.swapaxes(vt, -1, -2),
+        mask, kc, RB, interpret,
+    )
+    return jnp.swapaxes(out_t, -1, -2), m[:, :, 0, :], logs[:, :, 0, :]
+
+
+def _rows_stats_partition(interpret, mesh, arg_shapes, result_shape):
+    args_sh = tuple(_lead_only(mesh, s.sharding) for s in arg_shapes)
+    lead = _lead_only(mesh, arg_shapes[0].sharding)
+
+    def impl(qt, kt, vt, mask):
+        return _rows_attention_fwd_stats_impl(qt, kt, vt, mask, interpret)
+
+    return mesh, impl, (lead, lead, lead), args_sh
+
+
+def _rows_stats_infer(interpret, mesh, arg_shapes, shape):
+    lead = _lead_only(mesh, arg_shapes[0].sharding)
+    return (lead, lead, lead)
+
+
+_rows_attention_fwd_stats = functools.partial(
+    custom_partitioning, static_argnums=(4,)
+)(_rows_attention_fwd_stats_impl)
+_rows_attention_fwd_stats.def_partition(
+    partition=_rows_stats_partition,
+    infer_sharding_from_operands=_rows_stats_infer,
+    sharding_rule=(
+        "r h m c, r h n c, r h n c, r n -> r h m c, r h m, r h m"
+    ),
+)
+
+
+def _rows_attention_bwd_stats_impl(qt, kt, vt, mask, gt, out, m, logs,
+                                   interpret):
+    """K-chunked flash backward fed by forward-stashed stats: skips the
+    stats-recompute pallas_call of `_rows_attention_kchunk_bwd_cn`.
+    out/m/logs are `_rows_attention_fwd_stats`'s outputs ([R,H,N,C] /
+    [R,H,N] f32); dq is w.r.t. the PRE-SCALED q."""
+    R, H, N, C = qt.shape
+    kc = _kchunk_select(N, qt.dtype)
+    RB = _kchunk_rb(R)
+    # delta_i = dO_i . O_i (f32; cheap XLA reduction over C) — layout-
+    # free, so compute it on the NC residuals before transposing.
+    delta = jnp.sum(
+        gt.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, :, None, :]                  # [R, H, 1, N]
+    return _kchunk_grid_cn_grads_call(
+        jnp.swapaxes(qt, -1, -2),
+        jnp.swapaxes(kt, -1, -2),
+        jnp.swapaxes(vt, -1, -2),
+        mask,
+        jnp.swapaxes(gt, -1, -2),
+        m[:, :, None, :], logs[:, :, None, :], delta,
+        kc, RB, interpret,
+    )
+
+
+def _rows_bwd_stats_partition(interpret, mesh, arg_shapes, result_shape):
+    args_sh = tuple(_lead_only(mesh, s.sharding) for s in arg_shapes)
+    lead = _lead_only(mesh, arg_shapes[0].sharding)
+
+    def impl(qt, kt, vt, mask, gt, out, m, logs):
+        return _rows_attention_bwd_stats_impl(
+            qt, kt, vt, mask, gt, out, m, logs, interpret
+        )
+
+    return mesh, impl, (lead, lead, lead), args_sh
+
+
+_rows_attention_bwd_st = functools.partial(
+    custom_partitioning, static_argnums=(8,)
+)(_rows_attention_bwd_stats_impl)
+_rows_attention_bwd_st.def_partition(
+    partition=_rows_bwd_stats_partition,
+    infer_sharding_from_operands=_rows_bwd_infer,
+    sharding_rule=(
+        "r h m c, r h n c, r h n c, r n, r h m c, r h m c, r h m, r h m "
         "-> r h m c, r h n c, r h n c"
     ),
 )
@@ -1277,12 +1396,32 @@ _tiled_attention_nb.def_partition(
 
 
 def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):
+    if (
+        kernel_bwd
+        and bias is None
+        and mask is not None
+        and _KCHUNK_GRID
+        and _KCHUNK_CN
+        and _kchunk_select(q.shape[1], q.dtype) > 0
+    ):
+        # K-chunked flash-backward regime: run the stats-emitting CN
+        # forward once and stash (out, m, log s) so the backward skips
+        # its stats recompute (a full extra forward per grad step).
+        # Under remat this fwd rule runs inside the rematerialized
+        # backward pass, so the residuals are transient.
+        qt = jnp.swapaxes(q * scale, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out_h, m, logs = _rows_attention_fwd_stats(qt, kt, vt, mask,
+                                                   interpret)
+        out = jnp.swapaxes(out_h, 1, 2)  # [R, N, H, C]
+        return out, (q, k, v, mask, bias, (out_h, m, logs))
     out = _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
-    return out, (q, k, v, mask, bias)
+    return out, (q, k, v, mask, bias, None)
 
 
 def _bwd(scale, interpret, kernel_bwd, residuals, g):
-    q, k, v, mask, bias = residuals
+    q, k, v, mask, bias, stats = residuals
 
     # The rows backward covers BOTH kernel regimes: full-key below the
     # K-chunk switch point, the CN-layout K-chunked flash backward
@@ -1311,7 +1450,15 @@ def _bwd(scale, interpret, kernel_bwd, residuals, g):
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
         gt = jnp.swapaxes(g, 1, 2)
-        dqt, dkt, dvt = _rows_attention_bwd(qt, kt, vt, mask, gt, interpret)
+        if stats is not None:
+            out_h, m, logs = stats
+            dqt, dkt, dvt = _rows_attention_bwd_st(
+                qt, kt, vt, mask, gt, out_h, m, logs, interpret
+            )
+        else:
+            dqt, dkt, dvt = _rows_attention_bwd(
+                qt, kt, vt, mask, gt, interpret
+            )
         return (
             jnp.swapaxes(dqt, 1, 2) * scale,  # d(q)/d(qt) chain: qt = q*scale
             jnp.swapaxes(dkt, 1, 2),

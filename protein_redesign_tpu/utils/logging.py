@@ -56,11 +56,11 @@ class MetricsLogger:
 
 def _scalar(v: Any) -> Any:
     # A replicated global array on a multi-process mesh refuses float();
-    # every host holds the value — read this host's shard.
-    if getattr(v, "is_fully_addressable", True) is False:
-        v = v.addressable_shards[0].data
+    # host_scalar reads this host's shard (single multi-host read path).
+    from ..parallel.mesh import host_scalar
+
     try:
-        return float(v)
+        return float(host_scalar(v))
     except (TypeError, ValueError):
         return str(v)
 

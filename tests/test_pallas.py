@@ -392,13 +392,16 @@ class TestKChunkedFlashBackward:
         below it the full-key kernel."""
         pa = self._patch(monkeypatch)
         calls = []
-        orig = pa._rows_attention_kchunk_bwd_cn
+        orig = pa._kchunk_grid_cn_grads_call
 
         def spy(*args, **kw):
             calls.append(args[0].shape)
             return orig(*args, **kw)
 
-        monkeypatch.setattr(pa, "_rows_attention_kchunk_bwd_cn", spy)
+        # The gradient pallas_call is common to both K-chunked backward
+        # entries (stats-recompute fallback AND the forward-stashed-stats
+        # path the training default takes).
+        monkeypatch.setattr(pa, "_kchunk_grid_cn_grads_call", spy)
         q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
         self._grads(q, k, v, mask, True)
         assert calls  # N=32 >= patched switch point -> K-chunked bwd
