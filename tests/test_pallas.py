@@ -425,6 +425,42 @@ class TestKChunkedFlashBackward:
                 atol=2e-2, rtol=2e-2,
             )
 
+    def test_fwd_stats_residuals_skip_recompute(self, monkeypatch):
+        """In the K-chunked training regime the custom-vjp forward must
+        take the stats-emitting kernel (residuals: out, m, log s) and
+        the backward must NOT run the stats-recompute pass — one full
+        forward per grad step saved. Inference (kernel_bwd off) keeps
+        the plain forward."""
+        pa = self._patch(monkeypatch)
+        stats_fwd, stats_recompute = [], []
+        orig_fwd = pa._rows_attention_fwd_stats
+        orig_stats = pa._kchunk_grid_cn_stats_call
+
+        def spy_fwd(*a, **kw):
+            stats_fwd.append(a[0].shape)
+            return orig_fwd(*a, **kw)
+
+        def spy_stats(*a, **kw):
+            stats_recompute.append(a[0].shape)
+            return orig_stats(*a, **kw)
+
+        monkeypatch.setattr(pa, "_rows_attention_fwd_stats", spy_fwd)
+        q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
+        self._grads(q, k, v, mask, True)
+        assert stats_fwd  # training grad -> stats-emitting forward
+        # The backward's stats recompute must be skipped: spy the stats
+        # pallas_call and differentiate again (the fwd spy now delegates
+        # to the original, which calls the stats call ONCE — from _fwd).
+        monkeypatch.setattr(pa, "_kchunk_grid_cn_stats_call", spy_stats)
+        stats_fwd.clear()
+        self._grads(q, k, v, mask, True)
+        assert len(stats_fwd) == 1
+        assert len(stats_recompute) == 1  # fwd only, not fwd + recompute
+        # Inference forward (no grad, kernel_bwd False): plain kernel.
+        stats_fwd.clear()
+        fused_attention(q, k, v, mask, None, 0.35, True, False)
+        assert stats_fwd == []
+
 
 class TestShardedKernels:
     """custom_partitioning wrappers: the attention kernels shard over
