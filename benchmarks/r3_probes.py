@@ -352,8 +352,9 @@ def cmd_attnbwd(args):
     iters = 3
     interp = jax.default_backend() != "tpu"  # CPU smoke runs interpret
     rng = np.random.RandomState(0)
-    q, k, v = (jnp.asarray(rng.randn(R, N, H, C), jnp.bfloat16)
-               for _ in range(3))
+    dt = jnp.float32 if getattr(args, "dtype", "bf16") == "f32" \
+        else jnp.bfloat16
+    q, k, v = (jnp.asarray(rng.randn(R, N, H, C), dt) for _ in range(3))
     mask = jnp.asarray((rng.rand(R, N) > 0.1).astype(np.float32))
     scale = 1.0 / np.sqrt(C)
     # fwd ~4, flash bwd ~7 more matmul-equivalents per (row, key) cell
@@ -390,12 +391,13 @@ def cmd_attnbwd(args):
             d, _ = timed_fetch(compiled, q, k, v)
             d2, _ = timed_fetch(compiled, q, k, v)
             ms = min(d, d2) / iters * 1e3
-            print(f"[attnbwd {tag}] N={N}: {ms:.1f} ms/grad-step "
+            print(f"[attnbwd {tag} {dt.__name__}] N={N}: "
+                  f"{ms:.1f} ms/grad-step "
                   f"(~{fl/ms:.1f} TF/s; compile {compile_s:.0f}s)",
                   flush=True)
         except Exception as e:
-            print(f"[attnbwd {tag}] N={N}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+            print(f"[attnbwd {tag} {dt.__name__}] N={N}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 def main():
@@ -411,6 +413,7 @@ def main():
     fb.add_argument("--bucket", type=int, default=768)
     ab = sub.add_parser("attnbwd")
     ab.add_argument("--bucket", type=int, default=2048)
+    ab.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     args = p.parse_args()
     enable_compilation_cache()
     {"trimul": cmd_trimul, "k2048": cmd_k2048,
