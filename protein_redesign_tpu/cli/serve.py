@@ -75,7 +75,7 @@ def _claim_request_dir(output_dir, req_id):
 
 
 def handle_request(req, runner, embedder, output_dir, default_mask_prob,
-                   device_lock=None, max_nodes=None):
+                   device_lock=None, max_nodes=None, max_samples=None):
     """One request through the PRE-COMPILED runner. The runner is built
     once at startup and reused — mask_prob is a traced argument of its
     jitted sampler, so varying it per request does not retrace (with
@@ -118,6 +118,17 @@ def handle_request(req, runner, embedder, output_dir, default_mask_prob,
     if num_samples < 1:
         raise ValueError(
             f"num_samples must be >= 1, got {num_samples}"
+        )
+    # Volume guard next to the validity check: the node-count guard
+    # below bounds a request's SIZE but said nothing about VOLUME — one
+    # client asking for a huge num_samples would hold the device lock
+    # for every sampling group (and [data] * num_samples the host RAM)
+    # while all other connections starve.
+    if max_samples is not None and num_samples > max_samples:
+        raise ValueError(
+            f"num_samples {num_samples} is over the server ceiling of "
+            f"{max_samples}; raise --max_samples (or pass "
+            f"--max_samples 0 for no limit)"
         )
 
     protein = load_protein_arg(req["protein"])
@@ -245,7 +256,7 @@ def warmup_runner(runner, buckets, esm_dim) -> None:
 
 
 def handle_line(line, runner, embedder, output_dir, default_mask_prob,
-                device_lock=None, max_nodes=None):
+                device_lock=None, max_nodes=None, max_samples=None):
     """One JSONL request line -> one result dict; never raises (bad
     requests become {"id", "error"} results so the server keeps going)."""
     req = None
@@ -254,6 +265,7 @@ def handle_line(line, runner, embedder, output_dir, default_mask_prob,
         return handle_request(
             req, runner, embedder, output_dir, default_mask_prob,
             device_lock=device_lock, max_nodes=max_nodes,
+            max_samples=max_samples,
         )
     except Exception as e:
         req_id = req.get("id", "?") if isinstance(req, dict) else "?"
@@ -262,7 +274,7 @@ def handle_line(line, runner, embedder, output_dir, default_mask_prob,
 
 def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
               host="127.0.0.1", max_requests=None, ready_cb=None,
-              max_nodes=None):
+              max_nodes=None, max_samples=None):
     """JSONL-over-TCP server: each client connection streams request
     lines and receives one JSON result line per request. Concurrent
     connections are accepted (threaded); device work (ESM embed +
@@ -288,7 +300,7 @@ def serve_tcp(port, runner, embedder, output_dir, default_mask_prob,
                 result = handle_line(
                     line, runner, embedder, output_dir,
                     default_mask_prob, device_lock=device_lock,
-                    max_nodes=max_nodes,
+                    max_nodes=max_nodes, max_samples=max_samples,
                 )
                 self.wfile.write((json.dumps(result) + "\n").encode())
                 self.wfile.flush()
@@ -342,6 +354,12 @@ def main(argv=None):
                              "lock. Default: the largest --warmup_buckets "
                              "rung when warming, else unlimited; 0 = "
                              "explicitly unlimited")
+    parser.add_argument("--max_samples", type=int, default=1024,
+                        help="reject requests whose num_samples exceeds "
+                             "this ceiling (one request holds the device "
+                             "lock for all its sampling groups — volume "
+                             "bound next to --max_nodes' size bound); "
+                             "0 = unlimited")
     parser.add_argument("--port", type=int, default=None,
                         help="serve JSONL over TCP on this port instead "
                              "of stdin/stdout (concurrent clients; device "
@@ -382,6 +400,7 @@ def main(argv=None):
 
     # ONE runner for the whole process: jit caches one program per padding
     # bucket, shared across requests (mask_prob/seed vary without retrace).
+    warm = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
     runner = SamplingRunner(
         model, params, batch_size=args.batch_size,
         mask_prob=args.mask_prob,
@@ -389,9 +408,15 @@ def main(argv=None):
         # One compiled program per bucket, ever: remainder groups are
         # padded to batch_size rather than compiling a second shape.
         pad_to_batch=True,
+        # When the operator warmed specific buckets, restrict the ladder
+        # to THOSE rungs: otherwise a request smaller than the lowest
+        # warmed rung picks an unwarmed lower bucket from the full
+        # DataConfig ladder and compiles it under the device lock — the
+        # exact 150-300 s all-client stall warming exists to prevent.
+        # Small requests pad up to the smallest warmed rung instead.
+        buckets=sorted(warm) if warm else None,
         **runner_sampler_kwargs(args),
     )
-    warm = [int(b) for b in args.warmup_buckets.split(",") if b.strip()]
     if warm:
         warmup_runner(runner, warm, cfg.esm_dim)
     # Work-bound policy: when the operator warmed specific buckets, the
@@ -406,11 +431,12 @@ def main(argv=None):
               flush=True)
     if max_nodes is not None and max_nodes <= 0:
         max_nodes = None
+    max_samples = args.max_samples if args.max_samples > 0 else None
 
     if args.port is not None:
         serve_tcp(
             args.port, runner, embedder, args.output_dir, args.mask_prob,
-            host=args.host, max_nodes=max_nodes,
+            host=args.host, max_nodes=max_nodes, max_samples=max_samples,
         )
         return
 
@@ -423,7 +449,7 @@ def main(argv=None):
                 continue
             result = handle_line(
                 line, runner, embedder, args.output_dir, args.mask_prob,
-                max_nodes=max_nodes,
+                max_nodes=max_nodes, max_samples=max_samples,
             )
             out_f.write(json.dumps(result) + "\n")
             out_f.flush()

@@ -92,10 +92,17 @@ def prefetch(
         except Exception as e:  # propagate to consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(sentinel)
-            except queue.Full:
-                pass  # consumer is gone; nothing waits on the sentinel
+            # The sentinel must use the same stop-aware blocking retry as
+            # items: a full queue here only means the consumer is SLOW
+            # (the buffer holds `size` items), not gone — a dropped
+            # sentinel left the consumer blocked in q.get() forever after
+            # draining the buffer, and swallowed worker exceptions.
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=worker, daemon=True).start()
     try:

@@ -162,6 +162,51 @@ class TestPipeline:
         assert pick_bucket(50, (1024, 64, 256)) == 64
         assert pick_bucket(65, (1024, 64, 256)) == 256
 
+    def test_prefetch_slow_consumer_terminates_and_sees_errors(self):
+        # At iterator exhaustion the queue can be FULL because the
+        # consumer is merely slow (not gone): the sentinel must block-put
+        # like items do. A dropped sentinel left the consumer in q.get()
+        # forever after draining the buffer, and swallowed worker
+        # exceptions (the train loop consumes prefetch(..., size=2)).
+        import threading
+        import time
+
+        results = {}
+
+        def consume(name, gen):
+            try:
+                out = []
+                for x in gen:
+                    out.append(x)
+                    time.sleep(0.05)  # slower than the producer
+                results[name] = out
+            except Exception as e:
+                results[name] = e
+
+        def bad():
+            yield 1
+            yield 2
+            raise RuntimeError("boom")
+
+        threads = [
+            threading.Thread(
+                target=consume, args=("ok", prefetch(iter(range(5)), size=2)),
+                daemon=True,
+            ),
+            threading.Thread(
+                target=consume, args=("err", prefetch(bad(), size=1)),
+                daemon=True,
+            ),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10.0)
+        assert not any(t.is_alive() for t in threads), \
+            "prefetch consumer hung (sentinel dropped on full queue)"
+        assert results["ok"] == list(range(5))
+        assert isinstance(results["err"], RuntimeError)
+
     def test_prefetch_worker_exits_on_early_abandon(self):
         # A consumer that stops iterating (max_steps / SIGTERM) must not
         # leave the worker blocked on q.put forever, pinning buffered

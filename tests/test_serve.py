@@ -360,3 +360,61 @@ def test_oversized_request_rejected_without_compiling(tmp_path):
         default_mask_prob=0.3, max_nodes=8,
     )
     assert "max_nodes" not in result2.get("error", "")
+
+
+def test_volume_guard_rejects_oversized_num_samples(tmp_path):
+    """--max_samples bounds request VOLUME the way --max_nodes bounds
+    SIZE: one client asking for a huge num_samples would otherwise hold
+    the device lock for every sampling group (and build a
+    [data] * num_samples host list) while other connections starve. The
+    guard fires before any runner/embedder work (runner=None)."""
+    from protein_redesign_tpu.cli.serve import handle_line
+
+    result = handle_line(
+        json.dumps({"id": "flood", "protein": "ACDEF", "ligand": "CCO",
+                    "num_samples": 1_000_000_000}),
+        runner=None, embedder=None, output_dir=tmp_path,
+        default_mask_prob=0.3, max_samples=64,
+    )
+    assert result["id"] == "flood" and "max_samples" in result["error"]
+    result2 = handle_line(
+        json.dumps({"id": "fits", "protein": "ACDEF", "ligand": "CCO",
+                    "num_samples": 64}),
+        runner=None, embedder=None, output_dir=tmp_path,
+        default_mask_prob=0.3, max_samples=64,
+    )
+    assert "max_samples" not in result2.get("error", "")
+
+
+def test_warm_buckets_restrict_runner_ladder(tiny_ckpt, tmp_path,
+                                             monkeypatch):  # noqa: F811
+    """--warmup_buckets must restrict the runner's bucket ladder to the
+    warmed rungs: with the full DataConfig ladder, a request SMALLER
+    than the lowest warmed rung picks an unwarmed lower bucket and
+    compiles it under the device lock — the stall warming exists to
+    prevent. Small requests pad up to a warmed rung instead."""
+    import protein_redesign_tpu.cli.common as common
+    from protein_redesign_tpu.cli.serve import main
+
+    captured = {}
+    orig = common.SamplingRunner
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(common, "SamplingRunner", spy)
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(json.dumps({
+        "id": "small", "protein": "ACDEFGHI", "ligand": "CCO",
+        "num_samples": 1, "seed": 0,
+    }) + "\n")
+    out = tmp_path / "results.jsonl"
+    main([
+        "-c", str(tiny_ckpt), "-o", str(tmp_path / "srv"),
+        "--num_steps", "2", "--warmup_buckets", "16",
+        "--input", str(reqs), "--output", str(out),
+    ])
+    assert captured["buckets"] == [16]
+    (line,) = [json.loads(l) for l in out.read_text().splitlines()]
+    assert line["id"] == "small" and "error" not in line
