@@ -432,7 +432,10 @@ def main(argv=None):
                 step_key = jax.random.fold_in(key, step)
                 state, metrics = train_step(state, batch, step_key)
                 step += 1
-                if step % train_cfg.log_every_steps == 0:
+                if (
+                    train_cfg.log_every_steps > 0
+                    and step % train_cfg.log_every_steps == 0
+                ):
                     logger.log(step, {
                         "train_loss": metrics["loss"],
                         "grad_norm": metrics["grad_norm"],
@@ -440,7 +443,10 @@ def main(argv=None):
                     })
                     print(f"step {step}: "
                           f"loss={host_scalar(metrics['loss']):.4f}")
-                if step % train_cfg.val_every_steps == 0:
+                if (
+                    train_cfg.val_every_steps > 0
+                    and step % train_cfg.val_every_steps == 0
+                ):
                     val_loss = run_validation(jax.random.fold_in(key, step + 1_000_000_007))
                     logger.log(step, {"val_loss": val_loss})
                     print(f"step {step}: val_loss={val_loss:.4f}")

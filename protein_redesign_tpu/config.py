@@ -165,7 +165,15 @@ class ModelConfig:
     #                                residues (the actual design targets;
     #                                under the reference loss their
     #                                recovery stays at chance, BASELINE.md
-    #                                quality tables)
+    #                                quality tables).
+    #                                IGNORED when seq_process="absorbing":
+    #                                the absorbing loss is a complete
+    #                                objective of its own (per-sample MSE +
+    #                                per-position CE, no KL) and never
+    #                                consults loss_mode — verified by
+    #                                bit-identical 20k-step training runs
+    #                                with and without per_position
+    #                                (BASELINE.md round-3 quality cells).
     # Absorbing-mode sampling controls (seq_process='absorbing' only;
     # inference-time — safe to override on any absorbing checkpoint).
     reveal_schedule: str = "linear"  # cumulative commitment target as a

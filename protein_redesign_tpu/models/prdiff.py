@@ -523,6 +523,23 @@ class ProteinReDiffModel:
                 f"seq_process must be 'gaussian' or 'absorbing', "
                 f"got {self.cfg.seq_process!r}"
             )
+        if (
+            self.cfg.seq_process == "absorbing"
+            and self.cfg.loss_mode == "per_position"
+        ):
+            # The absorbing objective is complete on its own (per-sample
+            # MSE + per-position CE, no KL) and never consults loss_mode;
+            # training with/without per_position is bit-identical
+            # (BASELINE.md round-3 quality cells). Warn so a sweep does
+            # not mistake the two flag sets for distinct cells.
+            import warnings
+
+            warnings.warn(
+                "loss_mode='per_position' has no effect under "
+                "seq_process='absorbing' (the absorbing loss is already "
+                "per-position and ignores loss_mode)",
+                stacklevel=2,
+            )
         k_prep, k_t, k_loss = jax.random.split(key, 3)
         batch = self.prepare_batch(batch, k_prep, training=training)
         x = batch["x"]

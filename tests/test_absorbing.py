@@ -56,6 +56,22 @@ def test_loss_finite_and_seq_grad():
     assert norm > 0  # CE reaches the sequence head
 
 
+def test_loss_mode_is_ignored_under_absorbing():
+    """The absorbing objective never consults loss_mode: per_position
+    yields the bit-identical loss AND a warning (round-3 finding — two
+    20k-step TPU runs differing only in this flag trained bit-identically,
+    BASELINE.md quality cells)."""
+    batch = _batch()
+    ref = ProteinReDiffModel(TINY)
+    params = ref.init_params(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(7)
+    loss_ref, _ = ref.loss(params, batch, key)
+    pp = ProteinReDiffModel(TINY.replace(loss_mode="per_position"))
+    with pytest.warns(UserWarning, match="no effect under"):
+        loss_pp, _ = pp.loss(params, batch, key)
+    assert float(loss_ref) == float(loss_pp)
+
+
 def test_sample_reveals_all_unknowns():
     """Sampled logits decode to REAL residue classes at every unknown
     position (no absorbed/zero rows survive to the output)."""
