@@ -300,6 +300,107 @@ def cmd_f32_1024(args):
     fwd_bench(cfg, 1024, 900, iters=3, label="kernel f32")
 
 
+def outer_op_bench(factored, N, iters=20, S=512, D=64):
+    """The OuterLinear module alone (same fold-back scan as the roofline
+    probe so steps chain); MFU denominator is the REFERENCE math's FLOPs
+    (4*N^2*S*D) for both variants — the factored path does half the
+    arithmetic, so its 'MFU' is effective throughput on the op's math."""
+    from protein_redesign_tpu.models.denoiser import OuterLinear
+
+    rng = np.random.RandomState(0)
+    single = jnp.asarray(rng.randn(1, N, S), jnp.float32)
+    ol = OuterLinear(D, factored=factored, dtype=jnp.bfloat16)
+    olp = ol.init(jax.random.PRNGKey(0), single)
+    olp = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(
+            np.random.RandomState(1).randn(*v.shape) * 0.02, v.dtype
+        ), olp,
+    )
+
+    @jax.jit
+    def loop(params, s0):
+        def body(s, _):
+            upd = ol.apply(params, s)               # [1, N, N, D]
+            fold = jnp.tile(upd.mean(axis=1), (1, 1, S // D))
+            return s + 0.001 * fold.astype(s.dtype), None
+        s, _ = jax.lax.scan(body, s0, None, length=iters)
+        return s
+
+    tag = "factored" if factored else "default"
+    ol_fl = 2 * N**2 * 2 * S * D
+    try:
+        compiled = loop.lower(olp, single).compile()
+        timed_fetch(compiled, olp, single)
+        dt, _ = timed_fetch(compiled, olp, single)
+        dt2, _ = timed_fetch(compiled, olp, single)
+        per = min(dt, dt2) / iters
+        print(f"[op outer_linear {tag} N={N}]: {per*1e3:.3f} ms/call "
+              f"({ol_fl/1e9:.2f} GF -> MFU {mfu(ol_fl, per)*100:.1f}%)",
+              flush=True)
+    except Exception as e:
+        print(f"[op outer_linear {tag} N={N}]: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+
+def cmd_outerfac(args):
+    """Factored OuterLinear (ModelConfig.outer_factored): op-level,
+    end-to-end denoiser forward (h16x4 + h64x1), and a B=1 train step —
+    the backward of the default concat path materializes d_feats
+    [N,N,2S] too, so training should gain at least as much."""
+    quick = getattr(args, "quick", False)
+    op_ns = (128,) if quick else (384, 512)
+    for N in op_ns:
+        for fac in (False, True):
+            outer_op_bench(fac, N, iters=2 if quick else 20)
+    if quick:
+        return
+    for cfg, tag in ((BASE, "h16x4"),
+                     (BASE.replace(head_dim=64, num_heads=1,
+                                   esm_dim=320), "h64x1")):
+        for bucket, n_res, iters in ((384, 320, 20), (512, 420, 12)):
+            for fac in (False, True):
+                lab = "outerfac" if fac else "default"
+                fwd_bench(cfg.replace(outer_factored=fac), bucket, n_res,
+                          iters, f"{tag} {lab}")
+    # Train step, paper h16x4, B=1, bucket 384 (flash-bwd default plan).
+    from protein_redesign_tpu.parallel.train_step import (
+        make_train_state,
+        make_train_step,
+    )
+
+    for fac in (False, True):
+        cfg = BASE.replace(training_mode=True, outer_factored=fac)
+        model = ProteinReDiffModel(cfg)
+        b = {k: jnp.asarray(v)
+             for k, v in _make_batch(32, 304, 384,
+                                     esm_dim=cfg.esm_dim).items()}
+        train_cfg = TrainConfig()
+        tag = "outerfac" if fac else "default"
+        iters = 6
+        try:
+            state = make_train_state(model, train_cfg,
+                                     jax.random.PRNGKey(0), b)
+            step = make_train_step(model, train_cfg)
+
+            @jax.jit
+            def loop(state, b, k):
+                def body(s, i):
+                    s2, metrics = step(s, b, jax.random.fold_in(k, i))
+                    return s2, metrics["loss"]
+                return jax.lax.scan(body, state, jnp.arange(iters))
+
+            compiled = loop.lower(state, b, jax.random.PRNGKey(2)).compile()
+            timed_fetch(compiled, state, b, jax.random.PRNGKey(2))
+            d, _ = timed_fetch(compiled, state, b, jax.random.PRNGKey(3))
+            d2, _ = timed_fetch(compiled, state, b, jax.random.PRNGKey(4))
+            ms = min(d, d2) / iters * 1e3
+            print(f"[train {tag}] B=1 bucket 384: {ms:.1f} ms/step "
+                  f"({1e3/ms:.2f} steps/s/chip)", flush=True)
+        except Exception as e:
+            print(f"[train {tag}] bucket 384: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
 def cmd_flashbwd(args):
     from protein_redesign_tpu.parallel.train_step import (
         make_train_state,
@@ -414,12 +515,16 @@ def main():
     ab = sub.add_parser("attnbwd")
     ab.add_argument("--bucket", type=int, default=2048)
     ab.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    of = sub.add_parser("outerfac")
+    of.add_argument("--quick", action="store_true",
+                    help="tiny CPU smoke (op legs only)")
     args = p.parse_args()
     enable_compilation_cache()
     {"trimul": cmd_trimul, "k2048": cmd_k2048,
      "f32_1024": cmd_f32_1024, "flashbwd": cmd_flashbwd,
      "roofline": cmd_roofline, "rbsweep": cmd_rbsweep,
-     "serve2048": cmd_serve2048, "attnbwd": cmd_attnbwd}[args.cmd](args)
+     "serve2048": cmd_serve2048, "attnbwd": cmd_attnbwd,
+     "outerfac": cmd_outerfac}[args.cmd](args)
 
 
 if __name__ == "__main__":

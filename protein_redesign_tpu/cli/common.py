@@ -292,9 +292,11 @@ def add_sampler_args(parser) -> None:
                            "(training-path kernel enablement)"),
         ("trimul_dmajor", "channel-major triangle-multiplication "
                           "contraction layout"),
+        ("outer_factored", "factored OuterLinear (no [N,N,2S] concat; "
+                           "difference half collapses to O(N) gemms)"),
     ):
         parser.add_argument(f"--{flag}", action="store_true",
-                            help=f"opt-in {what} Pallas kernel "
+                            help=f"opt-in {what} "
                                  "(experimental; see BASELINE.md kernel "
                                  "notes for measured verdicts)")
 
@@ -314,7 +316,7 @@ def sampler_cfg_overrides(args) -> Dict:
     # a checkpoint config's own kernel fields survive the load.
     for flag in ("use_pallas", "use_pallas_trimul", "use_pallas_transition",
                  "use_pallas_outer", "use_pallas_fused_gated",
-                 "use_pallas_bwd", "trimul_dmajor"):
+                 "use_pallas_bwd", "trimul_dmajor", "outer_factored"):
         if getattr(args, flag):
             overrides[flag] = True
     return overrides

@@ -185,12 +185,27 @@ class OuterLinear(nn.Module):
     """Pair update from single: Linear(cat[x_i*x_j, x_i-x_j])
     (reference `modules.py:277-287`).
 
-    ``use_pallas``: fused kernel (ops/pallas_outer.py) — never
-    materializes the [N, N, 2*single_dim] concat features in HBM
-    (~302 MB bf16 at N=384 vs a 19 MB output)."""
+    ``factored``: algebraic reassociation of the same Linear — with
+    W = [W1; W2] split along the concat axis,
+
+        out[i,j] = (x_i * x_j) @ W1 + (x_i - x_j) @ W2 + b
+                 = einsum('isd,js->ijd', x[:, :, None] * W1, x)
+                   + u_i - u_j + b,   u = x @ W2.
+
+    The difference half collapses from O(N^2 S D) to O(N S D) FLOPs
+    (half the op's total), and nothing [N, N, 2S]-shaped is ever
+    materialized (~302 MB bf16 at N=384 vs the 19 MB output the
+    default path's concat features cost in HBM traffic). Same
+    parameters/tree as the default path (checkpoint-compatible);
+    numerics differ only by float reassociation (f32 accumulation).
+
+    ``use_pallas``: fused kernel (ops/pallas_outer.py) — also avoids
+    the concat materialization but recomputes projections in-kernel;
+    measured LOSS end-to-end (BASELINE.md fused aux-kernel sweep)."""
 
     pair_dim: int
     use_pallas: bool = False
+    factored: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -207,6 +222,23 @@ class OuterLinear(nn.Module):
                 x.astype(self.dtype), w, b,
                 jax.default_backend() == "cpu",
             )
+        if self.factored:
+            S = x.shape[-1]
+            x = LayerNorm(affine=False, dtype=self.dtype)(x)
+            w, b = _DenseHandle(
+                2 * S, self.pair_dim, "final",
+                param_dtype=self.param_dtype, name="linear",
+            )()
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+            u = x @ w[S:]  # [..., N, D]
+            diff = u[..., :, None, :] - u[..., None, :, :]
+            y = x[..., :, :, None] * w[:S]  # [..., N, S, D]
+            prod = jnp.einsum(
+                "...isd,...js->...ijd", y, x,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            return prod + diff + b.astype(self.dtype)
         x = LayerNorm(affine=False, dtype=self.dtype)(x)
         x_i = x[..., :, None, :]
         x_j = x[..., None, :, :]
@@ -330,6 +362,7 @@ class FoldingBlock(nn.Module):
     trimul_dmajor: bool = False
     use_pallas_transition: bool = False
     use_pallas_outer: bool = False
+    outer_factored: bool = False
     use_pallas_fused_gated: bool = False
     attn_chunk: int = 0
     kernel_bwd: bool = False
@@ -363,6 +396,7 @@ class FoldingBlock(nn.Module):
         )(single)
         pair = pair + OuterLinear(
             self.pair_dim, use_pallas=self.use_pallas_outer,
+            factored=self.outer_factored,
             name="outer_linear", **kw,
         )(single)
         pair = pair + TriangleMultiplication(
@@ -568,6 +602,7 @@ class Denoiser(nn.Module):
                 trimul_dmajor=cfg.trimul_dmajor,
                 use_pallas_transition=cfg.use_pallas_transition and fused_ok,
                 use_pallas_outer=cfg.use_pallas_outer and fused_ok,
+                outer_factored=cfg.outer_factored,
                 use_pallas_fused_gated=(
                     cfg.use_pallas_fused_gated and fused_ok
                 ),

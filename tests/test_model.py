@@ -224,3 +224,71 @@ class TestModel:
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
         total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
         assert total > 0
+
+
+class TestOuterLinearFactored:
+    """outer_factored: algebraic reassociation of OuterLinear (no
+    [N,N,2S] concat; the difference half collapses to u_i - u_j).
+    Same params/tree as the default path; float reassociation only."""
+
+    def test_module_matches_default(self):
+        from protein_redesign_tpu.models.denoiser import OuterLinear
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 16, 12), jnp.float32)
+        ref_mod = OuterLinear(8, dtype=jnp.float32)
+        fac_mod = OuterLinear(8, factored=True, dtype=jnp.float32)
+        params = ref_mod.init(jax.random.PRNGKey(0), x)["params"]
+        p2 = fac_mod.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree_util.tree_structure(params) == (
+            jax.tree_util.tree_structure(p2)
+        )
+        # Non-degenerate weights (the 'final' init is zeros).
+        params = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(
+                np.random.RandomState(5).randn(*v.shape) * 0.3, v.dtype
+            ),
+            params,
+        )
+        ref = ref_mod.apply({"params": params}, x)
+        out = fac_mod.apply({"params": params}, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+        def loss(mod):
+            return lambda p: jnp.sum(jnp.square(mod.apply({"params": p}, x)))
+
+        g_ref = jax.grad(loss(ref_mod))(params)
+        g_fac = jax.grad(loss(fac_mod))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref),
+            jax.tree_util.tree_leaves(g_fac),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4
+            )
+
+    def test_full_model_forward_matches(self):
+        batch = make_batch()
+        ref_model = ProteinReDiffModel(TINY)
+        fac_model = ProteinReDiffModel(TINY.replace(outer_factored=True))
+        key = jax.random.PRNGKey(0)
+        params = ref_model.init_params(key, batch)
+        prepared = ref_model.prepare_batch(
+            batch, key, training=False, mask_prob=0.3
+        )
+        B, N = batch["residue_mask"].shape
+        rng = np.random.RandomState(7)
+        z = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        seq = jnp.asarray(rng.randn(B, N, NUM_CLASSES), jnp.float32)
+        mask = prepared["residue_and_atom_mask"]
+        t = jnp.ones((B,), jnp.int32)
+        ref_pos, ref_seq = ref_model.apply(params, prepared, z, seq, mask, t)
+        fac_pos, fac_seq = fac_model.apply(params, prepared, z, seq, mask, t)
+        np.testing.assert_allclose(
+            np.asarray(fac_pos), np.asarray(ref_pos), atol=5e-5, rtol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fac_seq), np.asarray(ref_seq), atol=5e-5, rtol=5e-5
+        )
