@@ -322,6 +322,7 @@ class OuterProductUpdate(nn.Module):
     pair_dim: int
     hidden_dim: int
     eps: float = 1e-3
+    factored: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -333,14 +334,30 @@ class OuterProductUpdate(nn.Module):
                      param_dtype=self.param_dtype, name="linear_1")(ln) * m
         b = PRLinear(self.hidden_dim, init="default", dtype=self.dtype,
                      param_dtype=self.param_dtype, name="linear_2")(ln) * m
-        # outer[i,j,c] = a[i,c] * b[j,c]; then a channel-wise linear to pair.
-        outer = jnp.einsum(
-            "...ic,...jc->...ijc", a, b, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        outer = PRLinear(
-            self.pair_dim, init="final", dtype=self.dtype,
-            param_dtype=self.param_dtype, name="linear_out",
-        )(outer)
+        if self.factored:
+            # Same reassociation as OuterLinear.factored: fold linear_out's
+            # kernel into a before the position-outer contraction, so the
+            # [N, N, hidden] outer tensor is never materialized —
+            # out[i,j,d] = sum_c a[i,c] W[c,d] b[j,c] + bias.
+            w, bias = _DenseHandle(
+                self.hidden_dim, self.pair_dim, "final",
+                param_dtype=self.param_dtype, name="linear_out",
+            )()
+            y = a[..., :, :, None] * w.astype(self.dtype)  # [..., N, C, D]
+            outer = jnp.einsum(
+                "...icd,...jc->...ijd", y, b,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype) + bias.astype(self.dtype)
+        else:
+            # outer[i,j,c] = a[i,c] * b[j,c]; then a channel linear to pair.
+            outer = jnp.einsum(
+                "...ic,...jc->...ijc", a, b,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            outer = PRLinear(
+                self.pair_dim, init="final", dtype=self.dtype,
+                param_dtype=self.param_dtype, name="linear_out",
+            )(outer)
         norm = (
             jnp.einsum("...ic,...jc->...ijc", m, m)
             + self.eps
@@ -576,7 +593,8 @@ class Denoiser(nn.Module):
         fused_ok = not cfg.sequence_parallel
 
         pair = pair + mask_2d[..., None] * OuterProductUpdate(
-            cfg.pair_dim, cfg.single_dim // 4, name="opm", **kw
+            cfg.pair_dim, cfg.single_dim // 4,
+            factored=cfg.outer_factored, name="opm", **kw
         )(single, mask)
         single = SPAttention(
             cfg.single_dim, cfg.pair_dim, cfg.num_heads,

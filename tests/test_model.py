@@ -269,6 +269,46 @@ class TestOuterLinearFactored:
                 np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4
             )
 
+    def test_opm_module_matches_default(self):
+        from protein_redesign_tpu.models.denoiser import OuterProductUpdate
+
+        rng = np.random.RandomState(13)
+        x = jnp.asarray(rng.randn(2, 16, 12), jnp.float32)
+        mask = jnp.asarray((rng.rand(2, 16) > 0.3).astype(np.float32))
+        ref_mod = OuterProductUpdate(8, 4, dtype=jnp.float32)
+        fac_mod = OuterProductUpdate(8, 4, factored=True, dtype=jnp.float32)
+        params = ref_mod.init(jax.random.PRNGKey(0), x, mask)["params"]
+        p2 = fac_mod.init(jax.random.PRNGKey(0), x, mask)["params"]
+        assert jax.tree_util.tree_structure(params) == (
+            jax.tree_util.tree_structure(p2)
+        )
+        params = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(
+                np.random.RandomState(5).randn(*v.shape) * 0.3, v.dtype
+            ),
+            params,
+        )
+        ref = ref_mod.apply({"params": params}, x, mask)
+        out = fac_mod.apply({"params": params}, x, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+        def loss(mod):
+            return lambda p: jnp.sum(
+                jnp.square(mod.apply({"params": p}, x, mask))
+            )
+
+        g_ref = jax.grad(loss(ref_mod))(params)
+        g_fac = jax.grad(loss(fac_mod))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref),
+            jax.tree_util.tree_leaves(g_fac),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4
+            )
+
     def test_full_model_forward_matches(self):
         batch = make_batch()
         ref_model = ProteinReDiffModel(TINY)
