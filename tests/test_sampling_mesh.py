@@ -1,5 +1,6 @@
 """Data-parallel sampling over the virtual 8-device mesh."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -189,16 +190,19 @@ def test_runner_mask_prob_does_not_retrace():
     assert not np.allclose(r1[0][0], r2[0][0])
 
 
-def test_sequence_parallel_denoiser_matches():
+@pytest.mark.parametrize("outer_factored", [False, True])
+def test_sequence_parallel_denoiser_matches(outer_factored):
     """sequence_parallel=True shards the pair tensor's complex axis over
     'model' (context parallelism for N >~ 1024); on a (2, 4) mesh the
     GSPMD-partitioned forward must match the unsharded one (SURVEY §5
-    long-context — the last uncovered subsystem of round 1)."""
+    long-context — the last uncovered subsystem of round 1). Both
+    OuterLinear/OPM implementations (default and factored) must
+    partition correctly."""
     import jax.numpy as jnp
 
     from protein_redesign_tpu.models.denoiser import Denoiser
 
-    cfg = TINY
+    cfg = TINY.replace(outer_factored=outer_factored)
     rng = np.random.RandomState(2)
     B, N = 2, 16
     single = jnp.asarray(rng.randn(B, N, cfg.single_dim), jnp.float32)
