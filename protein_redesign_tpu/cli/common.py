@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import random
+import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -405,6 +406,7 @@ class SamplingRunner:
         self.mesh = mesh
         self.sampler = sampler
         self.ddim_steps = ddim_steps
+        self._warned_nonfinite = False
         if sampler not in ("ddpm", "ddim", "ddim_parallel"):
             raise ValueError(f"Unknown sampler: {sampler}")
         if sampler == "ddpm" and eta != 0.0:
@@ -717,6 +719,23 @@ class SamplingRunner:
             (pos, seq_logits), traj = out if trajectory else (out, None)
             pos = np.asarray(pos)
             seq_logits = np.asarray(seq_logits)
+            # Diverged/untrained checkpoints can produce NaN/inf samples
+            # (observed: random-init h64x1 weights under the Gaussian
+            # sequence channel, BASELINE.md round-3 quality section);
+            # downstream decode then silently writes all-X sequences and
+            # NaN coordinates. Surface it once, loudly.
+            if not self._warned_nonfinite and not (
+                np.isfinite(pos).all() and np.isfinite(seq_logits).all()
+            ):
+                self._warned_nonfinite = True
+                warnings.warn(
+                    "sampler returned non-finite positions/logits — the "
+                    "checkpoint is likely untrained or diverged; decoded "
+                    "outputs will be garbage (all-X sequences / NaN "
+                    "coordinates)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             for row, i in enumerate(idxs):
                 n = datas[i]["num_atoms"] + datas[i]["num_residues"]
                 results[i] = (pos[row, :n], seq_logits[row, :n]) + (

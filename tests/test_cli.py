@@ -188,3 +188,60 @@ class TestCommonHelpers:
             logits[n_lig + i, 1 + RESIDUE_TYPES.index(aa)] = 9.0
         out = update_seq(protein, logits)
         assert protein_to_sequence(out) == "ACDEFGHIKL"
+
+
+class TestNonFiniteGuard:
+    def test_runner_warns_on_nonfinite_samples(self):
+        """A diverged/untrained checkpoint that yields NaN positions or
+        logits must raise a RuntimeWarning instead of silently decoding
+        all-X garbage (observed: random-init h64x1 weights under the
+        Gaussian sequence channel, BASELINE.md round-3 quality cells)."""
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+
+        from protein_redesign_tpu.chem import (
+            mol_from_smiles,
+            protein_from_sequence,
+            update_mol_positions,
+        )
+        from protein_redesign_tpu.cli.common import SamplingRunner
+        from protein_redesign_tpu.data import ligand_to_data, protein_to_data
+        from protein_redesign_tpu.data.collate import collate_fn, numeric_batch
+        from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+
+        rng = np.random.RandomState(0)
+        mol = update_mol_positions(
+            mol_from_smiles("CCO"), rng.randn(3, 3).astype(np.float32)
+        )
+        prot = protein_from_sequence("ACDEFGHIKLMN")
+        prot.atom_pos[:, 1] = rng.randn(12, 3)
+        data = {
+            **ligand_to_data(mol),
+            **protein_to_data(
+                prot,
+                residue_esm=rng.randn(12, 16).astype(np.float32),
+                esm_dim=16,
+            ),
+        }
+        model = ProteinReDiffModel(TINY.replace(training_mode=False))
+        b = numeric_batch(collate_fn([data], buckets=(16,)))
+        params = model.init_params(jax.random.PRNGKey(0), b)
+
+        # Healthy params: no warning.
+        runner = SamplingRunner(model, params, buckets=(16,), batch_size=1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            runner.run([data], jax.random.PRNGKey(1))
+
+        # Poisoned params -> NaN samples -> exactly one warning for the
+        # whole run (not one per batch group).
+        bad = jax.tree_util.tree_map(lambda v: v * jnp.nan, params)
+        runner = SamplingRunner(model, bad, buckets=(16,), batch_size=1)
+        with pytest.warns(RuntimeWarning, match="non-finite"):
+            out = runner.run([data, data], jax.random.PRNGKey(1))
+        assert len(out) == 2
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            runner.run([data], jax.random.PRNGKey(2))  # already warned
