@@ -89,15 +89,22 @@ class ModelConfig:
     #                                  (ops/pallas_outer.py; never
     #                                  materializes the [N,N,2*single_dim]
     #                                  concat features)
-    outer_factored: bool = False     # algebraic OuterLinear factorization
-    #                                  (plain XLA): (x_i - x_j) @ W2
-    #                                  collapses to u_i - u_j (u = x @ W2;
-    #                                  half the op's FLOPs), and the
-    #                                  product half runs as one gemm
-    #                                  without the [N,N,2*single_dim]
-    #                                  concat. Same params/tree; float
-    #                                  reassociation only. Measured
-    #                                  before defaulting (BASELINE.md).
+    outer_factored: bool = True      # algebraic OuterLinear + OPM
+    #                                  factorization (plain XLA):
+    #                                  (x_i - x_j) @ W2 collapses to
+    #                                  u_i - u_j (u = x @ W2; half the
+    #                                  op's FLOPs), and the product half
+    #                                  runs as one gemm without the
+    #                                  [N,N,2*single_dim] concat. Same
+    #                                  params/tree; float reassociation
+    #                                  only. DEFAULT ON since the on-chip
+    #                                  probe: op 1.54x, denoiser fwd
+    #                                  1.13x, train step 1.10x at N=384
+    #                                  h16x4 (BASELINE.md round-3
+    #                                  outer-factored section). Old
+    #                                  checkpoints restore their saved
+    #                                  False; opt back in per-run with
+    #                                  --outer_factored.
     use_pallas_bwd: bool = True      # differentiate the rows-attention
     #                                  kernel through a flash-style Pallas
     #                                  BACKWARD (ops/pallas_attention.
