@@ -11,6 +11,7 @@ sequence->structure mapping, so TM-score against the cached ground truth
 measures real learning — unlike the round-2 pilot's shared ideal helix.
 """
 import dataclasses
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -25,8 +26,8 @@ from protein_redesign_tpu.chem.smiles import strip_cxsmiles
 from protein_redesign_tpu.data.dataset import save_complex_cache
 from protein_redesign_tpu.data.featurize import ligand_to_data, protein_to_data
 
-ESM_DIM = 320
-ROOT = Path("/tmp/prd_quality")
+ESM_DIM = int(os.environ.get("PRD_ESM_DIM", "320"))
+ROOT = Path(os.environ.get("PRD_QUALITY_ROOT", "/tmp/prd_quality"))
 DATA = ROOT / "data"
 CACHE = DATA / "cache"
 

@@ -36,7 +36,7 @@ from protein_redesign_tpu.chem.smiles import strip_cxsmiles
 from protein_redesign_tpu.data.dataset import save_complex_cache
 from protein_redesign_tpu.data.featurize import ligand_to_data, protein_to_data
 
-ESM_DIM = 320
+ESM_DIM = int(os.environ.get("PRD_ESM_DIM", "320"))
 ROOT = Path(os.environ.get("PRD_QUALITY_ROOT", "/tmp/prd_quality"))
 DATA = ROOT / "data"
 CACHE = DATA / "cache"

@@ -293,13 +293,27 @@ def add_sampler_args(parser) -> None:
                            "(training-path kernel enablement)"),
         ("trimul_dmajor", "channel-major triangle-multiplication "
                           "contraction layout"),
-        ("outer_factored", "factored OuterLinear (no [N,N,2S] concat; "
-                           "difference half collapses to O(N) gemms)"),
     ):
         parser.add_argument(f"--{flag}", action="store_true",
                             help=f"opt-in {what} "
                                  "(experimental; see BASELINE.md kernel "
                                  "notes for measured verdicts)")
+    from argparse import BooleanOptionalAction
+    parser.add_argument("--sample_guard", action=BooleanOptionalAction,
+                        default=None,
+                        help="sanitize sampler state each step (non-finite "
+                             "-> 0, |state| clamped to 1e4; identity on "
+                             "healthy trajectories, keeps diverged/"
+                             "untrained checkpoints scorable). DEFAULT ON; "
+                             "--no-sample_guard restores raw recurrences")
+    parser.add_argument("--outer_factored", action=BooleanOptionalAction,
+                        default=None,
+                        help="factored OuterLinear+OPM (no [N,N,2S] concat; "
+                             "float reassociation only). DEFAULT ON for new "
+                             "models since round 3 (op 1.54-2.43x measured); "
+                             "unset = keep the checkpoint config's value; "
+                             "--no-outer_factored forces the unfactored "
+                             "path (bit-exact repro of pre-flip sampling)")
 
 
 def sampler_cfg_overrides(args) -> Dict:
@@ -317,9 +331,16 @@ def sampler_cfg_overrides(args) -> Dict:
     # a checkpoint config's own kernel fields survive the load.
     for flag in ("use_pallas", "use_pallas_trimul", "use_pallas_transition",
                  "use_pallas_outer", "use_pallas_fused_gated",
-                 "use_pallas_bwd", "trimul_dmajor", "outer_factored"):
+                 "use_pallas_bwd", "trimul_dmajor"):
         if getattr(args, flag):
             overrides[flag] = True
+    # tri-state (BooleanOptionalAction, default None): only override the
+    # checkpoint config when the user passed --outer_factored or
+    # --no-outer_factored explicitly.
+    if getattr(args, "outer_factored", None) is not None:
+        overrides["outer_factored"] = bool(args.outer_factored)
+    if getattr(args, "sample_guard", None) is not None:
+        overrides["sample_guard"] = bool(args.sample_guard)
     return overrides
 
 

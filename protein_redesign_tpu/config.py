@@ -103,7 +103,10 @@ class ModelConfig:
     #                                  h16x4 (BASELINE.md round-3
     #                                  outer-factored section). Old
     #                                  checkpoints restore their saved
-    #                                  False; opt back in per-run with
+    #                                  False (field-absent pre-round-3
+    #                                  configs are defaulted to False at
+    #                                  load — utils/checkpoint.py); opt
+    #                                  back in per-run with
     #                                  --outer_factored.
     use_pallas_bwd: bool = True      # differentiate the rows-attention
     #                                  kernel through a flash-style Pallas
@@ -190,6 +193,39 @@ class ModelConfig:
     #                                bit-identical 20k-step training runs
     #                                with and without per_position
     #                                (BASELINE.md round-3 quality cells).
+    self_cond: bool = False        # coordinate self-conditioning (Chen et
+    #                                al. 2022 "analog bits"; beyond
+    #                                reference — VERDICT r3 quality lever):
+    #                                the denoiser additionally sees the
+    #                                PREVIOUS step's clean-structure
+    #                                estimate x0-hat as an extra RBF
+    #                                distance embedding on the pair track
+    #                                (embed_sc_dist; gated by a per-sample
+    #                                flag so "no estimate yet" is an exact
+    #                                no-op). Training runs a stop-gradient
+    #                                first pass to produce x0-hat on a
+    #                                per-batch 50% coin (lax.cond — the
+    #                                average step cost is ~+1/6); all
+    #                                sequential samplers thread x0-hat
+    #                                through the scan carry. Adds one
+    #                                ProjLinear to the param tree, so the
+    #                                flag must match the checkpoint.
+    #                                ddim_parallel (paratime) rejects it:
+    #                                cross-step conditioning breaks the
+    #                                fixed-point rebuild's step
+    #                                independence.
+    sample_guard: bool = True      # sanitize the samplers' scan carry each
+    #                                step: non-finite values -> 0/±bound and
+    #                                |state| clamped to 1e4 (nm / ±1-one-hot
+    #                                units; healthy trajectories are O(1)).
+    #                                IDENTITY on finite, in-range state —
+    #                                bit-exact for trained checkpoints — but
+    #                                keeps diverged/untrained weights (e.g.
+    #                                random-init controls, BASELINE.md
+    #                                round-3 footnote) from collapsing to
+    #                                all-NaN positions/all-X sequences, so
+    #                                control rows stay scorable. Opt out
+    #                                with --no-sample_guard.
     # Absorbing-mode sampling controls (seq_process='absorbing' only;
     # inference-time — safe to override on any absorbing checkpoint).
     reveal_schedule: str = "linear"  # cumulative commitment target as a

@@ -133,6 +133,15 @@ def sample_ddim_parallel(
             "seq_reverse='ancestral' is only available on the sequential "
             "samplers (model.sample / model.sample_ddim)"
         )
+    if cfg.self_cond:
+        raise NotImplementedError(
+            "ddim_parallel cannot run with self_cond: self-conditioning "
+            "threads the previous step's x0-hat through the scan carry, "
+            "which makes each step's denoiser input depend on the "
+            "sequential predecessor — the Picard window's step map must "
+            "be a function of (z_t, t) alone. Sample self-conditioned "
+            "checkpoints with model.sample / model.sample_ddim"
+        )
     if cfg.seq_process == "absorbing":
         if cfg.reveal_temperature > 0.0 or cfg.reveal_conf_noise > 0.0:
             raise NotImplementedError(

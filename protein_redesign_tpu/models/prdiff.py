@@ -107,6 +107,8 @@ class ProteinReDiffNet(nn.Module):
         seq_t: jnp.ndarray,   # [B, N, 21] noisy one-hot
         mask: jnp.ndarray,    # [B, N] residue+atom mask
         t: jnp.ndarray,       # [B] int timestep
+        z_sc: Optional[jnp.ndarray] = None,   # [B, N, 3] prev x0-hat (nm)
+        sc_flag: Optional[jnp.ndarray] = None,  # [B] 1.0 = z_sc is live
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
@@ -174,6 +176,26 @@ class ProteinReDiffNet(nn.Module):
             + ProjLinear(cfg.pair_dim, "sinusoidal", cfg.time_dim,
                          name="embed_beta", **kw)(scaled_t[:, None, None])
         )
+
+        # --- coordinate self-conditioning (ModelConfig.self_cond, beyond
+        # reference): the previous x0-hat enters as one more RBF distance
+        # embedding, zero-gated per sample by sc_flag so the no-estimate
+        # case (first sampler step, the training coin's no-sc branch,
+        # init) is an EXACT no-op on the pair track.
+        if cfg.self_cond:
+            if z_sc is None:
+                z_sc = jnp.zeros_like(z)
+            if sc_flag is None:
+                sc_flag = jnp.zeros((z.shape[0],), jnp.float32)
+            zs = z_sc.astype(jnp.float32)
+            sc_dist = jnp.linalg.norm(
+                zs[..., :, None, :] - zs[..., None, :, :] + 1e-20, axis=-1
+            )
+            gate = (sc_flag[:, None, None, None]
+                    * mask_2d[..., None]).astype(dtype)
+            pair += gate * ProjLinear(
+                cfg.pair_dim, "rbf", cfg.dist_dim, name="embed_sc_dist", **kw
+            )(sc_dist.astype(dtype))
 
         # --- trunk
         single, pair = Denoiser(cfg, name="denoiser")(single, pair, mask)
@@ -247,9 +269,66 @@ class ProteinReDiffModel:
         return self.net.init(key, batch, z, seq, mask, t)["params"]
 
     def apply(
-        self, params: Any, batch: Batch, z, seq_t, mask, t
+        self, params: Any, batch: Batch, z, seq_t, mask, t,
+        z_sc=None, sc_flag=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.net.apply({"params": params}, batch, z, seq_t, mask, t)
+        if z_sc is None and sc_flag is None:
+            return self.net.apply(
+                {"params": params}, batch, z, seq_t, mask, t
+            )
+        return self.net.apply(
+            {"params": params}, batch, z, seq_t, mask, t, z_sc, sc_flag
+        )
+
+    # x0-hat clip bound, nm. Real complexes span a few nm; at t near T
+    # the 1/sqrt(alphas_cumprod) amplification turns O(1) prediction
+    # error into O(100) estimates, and an unbounded self-conditioning
+    # input would feed garbage distances to embed_sc_dist.
+    _SC_CLIP_NM = 20.0
+
+    def _x0_hat(
+        self, z_t: jnp.ndarray, noise_pred: jnp.ndarray,
+        a_t: jnp.ndarray, mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Clean-structure estimate from the noise prediction at
+        cumulative alpha ``a_t`` (broadcastable to [B,1,1]), clipped and
+        re-centred — the self-conditioning signal (ModelConfig.self_cond).
+        Always stop-gradiented: self-conditioning trains the CONSUMER of
+        the estimate, not the producer (Chen et al. 2022)."""
+        x0 = (z_t - jnp.sqrt(1.0 - a_t) * noise_pred) * jax.lax.rsqrt(
+            jnp.maximum(a_t, 1e-12)
+        )
+        x0 = jnp.clip(x0, -self._SC_CLIP_NM, self._SC_CLIP_NM)
+        return jax.lax.stop_gradient(remove_mean(x0, mask))
+
+    def _apply_with_self_cond(
+        self, params: Any, batch: Batch, z_t, seq_t, mask, t, key
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Training-side self-conditioning (ModelConfig.self_cond): on a
+        per-batch 50% coin, run a stop-gradient first pass to produce
+        x0-hat and condition the gradient pass on it; the other half
+        trains the flag-0 (no estimate) input the samplers' first step
+        uses. lax.cond executes ONE branch per step on TPU, so the
+        average cost is ~half an extra forward. No-op (and key unused)
+        when self_cond is off — existing RNG streams are undisturbed."""
+        if not self.cfg.self_cond:
+            return self.apply(params, batch, z_t, seq_t, mask, t)
+        a_t = self.schedule.alphas_cumprod[t][:, None, None]
+        B = z_t.shape[0]
+
+        def with_sc(_):
+            ep0, _sp0 = self.apply(params, batch, z_t, seq_t, mask, t)
+            return (
+                self._x0_hat(z_t, ep0, a_t, mask),
+                jnp.ones((B,), jnp.float32),
+            )
+
+        def no_sc(_):
+            return jnp.zeros_like(z_t), jnp.zeros((B,), jnp.float32)
+
+        coin = jax.random.uniform(key, ())
+        z_sc, flag = jax.lax.cond(coin < 0.5, with_sc, no_sc, None)
+        return self.apply(params, batch, z_t, seq_t, mask, t, z_sc, flag)
 
     # -------------------------------------------------------- batch plumbing
     def prepare_batch(
@@ -385,7 +464,9 @@ class ProteinReDiffModel:
             jax.random.normal(ks, seq.shape, seq.dtype), residue_mask
         )
         z_t, seq_t, seq_t1, t1 = self.q(sched, x, seq, t, noise_z, noise_seq, batch)
-        noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+        noise_pred, seq_pred = self._apply_with_self_cond(
+            params, batch, z_t, seq_t, mask, t, jax.random.fold_in(ks, 17)
+        )
         sac1 = sched.sqrt_alphas_cumprod[t1][:, None, None]
         s1mac1 = sched.sqrt_one_minus_alphas_cumprod[t1][:, None, None]
         seq_pred_t1 = sac1 * seq_pred + s1mac1 * noise_seq
@@ -489,7 +570,9 @@ class ProteinReDiffModel:
         )
         seq_t = full_pm1 * visible[..., None]
 
-        noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+        noise_pred, seq_pred = self._apply_with_self_cond(
+            params, batch, z_t, seq_t, mask, t, jax.random.fold_in(key, 17)
+        )
 
         num_nodes = jnp.maximum(jnp.sum(mask > 0.5, axis=-1), 1)
         mse = jnp.sum(
@@ -655,6 +738,13 @@ class ProteinReDiffModel:
             )
             s0 = extra * seq + inv * s0
             carry = (z0, s0, jnp.zeros_like(s0))
+        if cfg.self_cond:
+            # Two extra carry legs: the previous x0-hat and its live
+            # flag (0.0 on the first step — the exact-no-op input the
+            # training coin's no-sc branch covered).
+            carry = carry + (
+                jnp.zeros_like(z0), jnp.zeros((z0.shape[0],), jnp.float32)
+            )
         return batch, carry
 
     def sample_segment(
@@ -682,6 +772,7 @@ class ProteinReDiffModel:
         """Jittable part 3/3: carry -> the reference predict_step contract
         (positions in Angstrom, residue-masked sequence logits)."""
         residue_mask = batch["residue_mask"]
+        carry = carry[:3]  # self_cond appends (z_sc, flag) legs
         if self.cfg.seq_process == "absorbing":
             z_final, _comm_mask, comm_oh = carry
             seq_known, _ = self._absorbing_known_and_designable(batch)
@@ -690,6 +781,37 @@ class ProteinReDiffModel:
         z_final, _seq_t, seq_pred_last = carry
         pos = nanometre_to_angstrom(z_final)
         return pos, residue_mask[..., None] * seq_pred_last
+
+    def _guard(self, *arrays: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """Sanitize sampler scan-carry state (ModelConfig.sample_guard).
+
+        Non-finite entries become 0/±bound and magnitudes are clamped to
+        1e4 (positions are in nm inside the samplers, sequence state is
+        ±1-one-hot scale — healthy trajectories are O(1), so this is the
+        IDENTITY for any trained checkpoint and the guarded samplers stay
+        bit-exact). Diverged or random-init weights (the round-3 pp
+        control, BASELINE.md footnote) otherwise explode exponentially
+        through the reverse recurrence into all-NaN positions and all-X
+        decoded sequences; bounded-garbage state keeps every downstream
+        metric (TM-align, recovery) well-defined for control rows.
+
+        Applies to the sequential samplers (DDPM/DDIM, both sequence
+        processes). ``paratime.sample_ddim_parallel`` stays unguarded: its
+        cumulative-drift trajectory rebuild has no per-step state to
+        sanitize, so its tol=0 sequential-match invariant holds verbatim
+        for finite trajectories and is void for diverged weights."""
+        if not self.cfg.sample_guard:
+            return arrays if len(arrays) > 1 else arrays[0]
+        bound = 1e4
+        out = tuple(
+            jnp.clip(
+                jnp.nan_to_num(a, nan=0.0, posinf=bound, neginf=-bound),
+                -bound,
+                bound,
+            )
+            for a in arrays
+        )
+        return out if len(out) > 1 else out[0]
 
     def _gaussian_step_fn(self, params: Any, batch: Batch):
         """Reference DDPM step closure (`model.py:403-420`), shared by
@@ -705,7 +827,11 @@ class ProteinReDiffModel:
         B = x.shape[0]
 
         def step(carry, inp):
-            z_t, seq_t, _ = carry
+            if cfg.self_cond:
+                z_t, seq_t, _, z_sc, sc_flag = carry
+            else:
+                z_t, seq_t, _ = carry
+                z_sc = sc_flag = None
             t_scalar, k = inp
             if cfg.seq_reverse == "ancestral":
                 kz, ks = jax.random.split(k)
@@ -713,7 +839,9 @@ class ProteinReDiffModel:
                 kz, ks = k, None  # keep the reference-mode noise stream
             t = jnp.broadcast_to(t_scalar, (B,))
             w_noise = (1.0 - sched.alphas[t]) / sched.sqrt_one_minus_alphas_cumprod[t]
-            noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+            noise_pred, seq_pred = self.apply(
+                params, batch, z_t, seq_t, mask, t, z_sc, sc_flag
+            )
             mean = (1.0 / sched.sqrt_alphas[t])[:, None, None] * (
                 z_t - w_noise[:, None, None] * noise_pred
             )
@@ -739,6 +867,12 @@ class ProteinReDiffModel:
             noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
             std = sched.sqrt_betas[t][:, None, None]
             z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
+            z_next, seq_next = self._guard(z_next, seq_next)
+            if cfg.self_cond:
+                a_t = sched.alphas_cumprod[t][:, None, None]
+                z_sc_next = self._x0_hat(z_t, noise_pred, a_t, mask)
+                return (z_next, seq_next, seq_pred, z_sc_next,
+                        jnp.ones_like(sc_flag)), None
             return (z_next, seq_next, seq_pred), None
 
         return step
@@ -851,13 +985,17 @@ class ProteinReDiffModel:
         n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
 
         def step(carry, inp):
-            z_t, comm_mask, comm_oh = carry
+            if cfg.self_cond:
+                z_t, comm_mask, comm_oh, z_sc, sc_flag = carry
+            else:
+                z_t, comm_mask, comm_oh = carry
+                z_sc = sc_flag = None
             t_scalar, k = inp
             kz, kc, kg = jax.random.split(k, 3)
             t = jnp.broadcast_to(t_scalar, (B,))
             seq_t = seq + comm_oh  # absorbed positions stay zero rows
             noise_pred, seq_pred = self.apply(
-                params, batch, z_t, seq_t, mask, t
+                params, batch, z_t, seq_t, mask, t, z_sc, sc_flag
             )
             # Coordinate DDPM update (reference math).
             w_noise = (
@@ -870,9 +1008,15 @@ class ProteinReDiffModel:
             noise = remove_mean(jax.random.normal(kz, x.shape, x.dtype), mask)
             std = sched.sqrt_betas[t][:, None, None]
             z_next = jnp.where(t_scalar == 0, mean, mean + std * noise)
+            z_next = self._guard(z_next)
             comm_mask, comm_oh = self._reveal_update(
                 seq_pred, comm_mask, comm_oh, inv2, n_inv, t_scalar, kc, kg
             )
+            if cfg.self_cond:
+                a_t = sched.alphas_cumprod[t][:, None, None]
+                z_sc_next = self._x0_hat(z_t, noise_pred, a_t, mask)
+                return (z_next, comm_mask, comm_oh, z_sc_next,
+                        jnp.ones_like(sc_flag)), None
             return (z_next, comm_mask, comm_oh), None
 
         return step
@@ -948,10 +1092,16 @@ class ProteinReDiffModel:
         B = x.shape[0]
 
         def step(carry, inp):
-            z_t, seq_t, _ = carry
+            if cfg.self_cond:
+                z_t, seq_t, _, z_sc, sc_flag = carry
+            else:
+                z_t, seq_t, _ = carry
+                z_sc = sc_flag = None
             tau, tau_prev, k = inp
             t = jnp.broadcast_to(tau, (B,))
-            noise_pred, seq_pred = self.apply(params, batch, z_t, seq_t, mask, t)
+            noise_pred, seq_pred = self.apply(
+                params, batch, z_t, seq_t, mask, t, z_sc, sc_flag
+            )
             a_t = sched.alphas_cumprod[tau]
             a_prev = jnp.where(
                 tau_prev < 0, 1.0, sched.alphas_cumprod[jnp.maximum(tau_prev, 0)]
@@ -974,6 +1124,11 @@ class ProteinReDiffModel:
                 seq_next = extra * seq + inv * seq_cand
             else:
                 seq_next = jax.nn.softmax(seq_pred, axis=-1) * 2.0 - 1.0
+            z_next, seq_next = self._guard(z_next, seq_next)
+            if cfg.self_cond:
+                z_sc_next = self._x0_hat(z_t, noise_pred, a_t, mask)
+                return (z_next, seq_next, seq_pred, z_sc_next,
+                        jnp.ones_like(sc_flag)), None
             return (z_next, seq_next, seq_pred), None
 
         return step
@@ -1025,6 +1180,7 @@ class ProteinReDiffModel:
         (BASELINE.md sampler sweep) with the only weight-dependent
         sequence channel (BASELINE.md absorbing tables). Shared by
         sample_ddim() and the segmented API."""
+        cfg = self.cfg
         sched = self.schedule
         x = batch["x"]
         mask = batch["residue_and_atom_mask"]
@@ -1033,22 +1189,26 @@ class ProteinReDiffModel:
         n_inv = jnp.sum(inv2, axis=-1, keepdims=True)
 
         def step(carry, inp):
-            z_t, comm_mask, comm_oh = carry
+            if cfg.self_cond:
+                z_t, comm_mask, comm_oh, z_sc, sc_flag = carry
+            else:
+                z_t, comm_mask, comm_oh = carry
+                z_sc = sc_flag = None
             tau, tau_prev, k = inp
             kz, kc, kg = jax.random.split(k, 3)
             t = jnp.broadcast_to(tau, (B,))
             seq_t = seq + comm_oh  # absorbed positions stay zero rows
             noise_pred, seq_pred = self.apply(
-                params, batch, z_t, seq_t, mask, t
+                params, batch, z_t, seq_t, mask, t, z_sc, sc_flag
             )
             a_t = sched.alphas_cumprod[tau]
             a_prev = jnp.where(
                 tau_prev < 0, 1.0,
                 sched.alphas_cumprod[jnp.maximum(tau_prev, 0)],
             )
-            z_next = self._ddim_coord_update(
+            z_next = self._guard(self._ddim_coord_update(
                 z_t, noise_pred, mask, a_t, a_prev, eta, kz
-            )
+            ))
             # The LAST step (tau_prev < 0) evaluates the reveal target at
             # t=0 whatever the grid: a ddim_steps=1 run has no tau=0 entry
             # (linspace(T-1, 0, 1) == [T-1]) yet must still commit every
@@ -1057,6 +1217,10 @@ class ProteinReDiffModel:
             comm_mask, comm_oh = self._reveal_update(
                 seq_pred, comm_mask, comm_oh, inv2, n_inv, t_reveal, kc, kg
             )
+            if cfg.self_cond:
+                z_sc_next = self._x0_hat(z_t, noise_pred, a_t, mask)
+                return (z_next, comm_mask, comm_oh, z_sc_next,
+                        jnp.ones_like(sc_flag)), None
             return (z_next, comm_mask, comm_oh), None
 
         return step

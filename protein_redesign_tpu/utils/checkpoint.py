@@ -116,6 +116,7 @@ def load_checkpoint(
             step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
         )
         cfg_dict = dict(cfg_restored["config"])
+        _default_absent_outer_factored(cfg_dict)
         cfg_dict.update(config_overrides)
         cfg = ModelConfig(**cfg_dict)
 
@@ -175,6 +176,7 @@ def load_params_only(
 ) -> Tuple[Any, ModelConfig]:
     path = Path(directory).absolute()
     cfg_dict = json.loads((path / "config.json").read_text())
+    _default_absent_outer_factored(cfg_dict)
     cfg_dict.update(config_overrides)
     ckptr = ocp.StandardCheckpointer()
     # Restore onto the current platform regardless of where the checkpoint
@@ -182,6 +184,15 @@ def load_params_only(
     abstract = _abstract_from_metadata(ckptr.metadata(path / "params"))
     params = ckptr.restore(path / "params", abstract)
     return params, ModelConfig(**cfg_dict)
+
+
+def _default_absent_outer_factored(cfg_dict: dict) -> None:
+    """Checkpoints written before the ``outer_factored`` field existed
+    (pre-round-3) predate the factorization entirely: restoring them must
+    reproduce their original (unfactored) numerics, not silently pick up
+    the new default-True via ``ModelConfig(**cfg_dict)``. Field-present
+    checkpoints keep their stored value; explicit overrides still win."""
+    cfg_dict.setdefault("outer_factored", False)
 
 
 def _abstract_from_metadata(meta: Any) -> Any:

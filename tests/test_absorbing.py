@@ -142,16 +142,27 @@ def test_absorbing_overfit_recovers_masked_sequence():
 
     # The cosine reveal schedule must preserve the learned recovery on
     # the same trained weights (it only reorders WHEN positions commit).
+    # Pooled over 4 keys like the argmax leg above: a SINGLE key scores
+    # only ~12 masked positions, and the per-key distribution measured
+    # across 8 keys and both outer_factored trajectories ranges 9/12 to
+    # 12/12 (pooled 0.94 factored / 0.93 unfactored — round-4 probe) —
+    # one bad key's 0.75 is commitment-order variance, not a learning
+    # failure, and single-key scoring made this test flap on any change
+    # that perturbs the 800-step float trajectory (round-3 red suite).
     cosine = ProteinReDiffModel(
         TINY.replace(training_mode=False, reveal_schedule="cosine")
     )
-    key = jax.random.PRNGKey(100)
-    _, logits = cosine.sample(state.ema_params, batch, key, mask_prob=0.5)
-    _, invm = cosine.inference_extra_mask(key, batch["residue_mask"], 0.5)
-    invm = np.asarray(invm)[:, 4:16] > 0.5
-    pred = np.argmax(np.asarray(logits)[:, 4:16], axis=-1)
-    rec_cos = ((pred == true) & invm).sum() / max(invm.sum(), 1)
-    assert rec_cos > 0.8, f"cosine masked recovery {rec_cos:.2f}"
+    hits_c, total_c = 0, 0
+    for s in range(4):
+        key = jax.random.PRNGKey(100 + s)
+        _, logits = cosine.sample(state.ema_params, batch, key, mask_prob=0.5)
+        _, invm = cosine.inference_extra_mask(key, batch["residue_mask"], 0.5)
+        invm = np.asarray(invm)[:, 4:16] > 0.5
+        pred = np.argmax(np.asarray(logits)[:, 4:16], axis=-1)
+        hits_c += int(((pred == true) & invm).sum())
+        total_c += int(invm.sum())
+    rec_cos = hits_c / max(total_c, 1)
+    assert rec_cos > 0.8, f"cosine masked recovery {rec_cos:.2f} (n={total_c})"
 
     # The DDIM absorbing sampler (serving config) must preserve the
     # learned recovery with 2x fewer denoiser evals on the same weights.

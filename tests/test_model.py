@@ -311,7 +311,9 @@ class TestOuterLinearFactored:
 
     def test_full_model_forward_matches(self):
         batch = make_batch()
-        ref_model = ProteinReDiffModel(TINY)
+        # Pin the unfactored path explicitly: the config default flipped to
+        # True in round 3, so `TINY` alone would compare factored vs itself.
+        ref_model = ProteinReDiffModel(TINY.replace(outer_factored=False))
         fac_model = ProteinReDiffModel(TINY.replace(outer_factored=True))
         key = jax.random.PRNGKey(0)
         params = ref_model.init_params(key, batch)
