@@ -148,3 +148,127 @@ def test_train_cli_device_batch_cache(mini_data, tmp_path, capsys):
     ]
     losses = [m["train_loss"] for m in metrics if "train_loss" in m]
     assert len(losses) >= 5 and all(np.isfinite(losses))
+
+
+def test_field_absent_outer_factored_restores_false(tmp_path):
+    """Pre-round-3 checkpoints (config JSON written before the
+    outer_factored field existed) must restore the unfactored path —
+    their original numerics — not pick up the new default True
+    (ADVICE r3). Stored values and explicit overrides still win."""
+    from protein_redesign_tpu.config import ModelConfig
+    from protein_redesign_tpu.models.prdiff import ProteinReDiffModel
+    from protein_redesign_tpu.utils.checkpoint import (
+        load_params_only,
+        save_params_only,
+    )
+    from __graft_entry__ import _make_batch
+
+    cfg = ModelConfig(
+        esm_dim=8, time_dim=8, dist_dim=8, single_dim=16, pair_dim=8,
+        head_dim=4, num_heads=2, num_blocks=1, num_steps=4,
+        dtype="float32", remat=False,
+    )
+    batch = _make_batch(n_atoms=3, n_res=5, bucket=16, esm_dim=8, batch=1)
+    params = ProteinReDiffModel(cfg).init_params(jax.random.PRNGKey(0), batch)
+    out = tmp_path / "export"
+    save_params_only(out, params, cfg)
+
+    # Simulate a pre-round-3 artifact: drop the field from config.json.
+    cfg_path = out / "config.json"
+    d = json.loads(cfg_path.read_text())
+    assert d["outer_factored"] is True  # current default round-trips
+    del d["outer_factored"]
+    cfg_path.write_text(json.dumps(d))
+
+    _, restored = load_params_only(out)
+    assert restored.outer_factored is False
+    _, forced = load_params_only(out, outer_factored=True)
+    assert forced.outer_factored is True
+
+
+def test_sigterm_checkpoints_and_resumes(mini_data, tmp_path):
+    """Kill-and-resume END-TO-END (VERDICT r3 item 6): SIGTERM a live
+    training subprocess mid-epoch, assert the signal handler
+    (`cli/train.py` interrupted-path) wrote a checkpoint, then resume
+    from it and assert exact step continuity."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    save_dir = tmp_path / "run_sig"
+    argv = [
+        sys.executable, "-u", "-m", "protein_redesign_tpu.cli.train",
+        "--save_dir", str(save_dir),
+        "--data_dir", str(mini_data),
+        "--batch_size", "2",
+        "--buckets", "16,24",
+        "--esm_dim", "16", "--time_dim", "8", "--dist_dim", "8",
+        "--single_dim", "16", "--pair_dim", "8", "--head_dim", "4",
+        "--num_heads", "2", "--num_blocks", "1", "--num_steps", "4",
+        "--dtype", "float32",
+        # Only the signal can stop it inside the test window; no
+        # validation saves, so any checkpoint provably came from the
+        # SIGTERM handler.
+        "--max_steps", "100000", "--val_every_steps", "0",
+        "--log_every_steps", "1", "--warmup_steps", "2",
+    ]
+    env = dict(os.environ, PRD_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        argv, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    try:
+        # Wait until training demonstrably progresses (metrics lines).
+        metrics_path = save_dir / "metrics.jsonl"
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if metrics_path.exists() and len(
+                metrics_path.read_text().splitlines()
+            ) >= 3:
+                break
+            time.sleep(1.0)
+            assert proc.poll() is None, proc.stdout.read()
+        else:
+            raise AssertionError("training never reached step 3")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, out
+    assert "interrupted at step" in out, out
+
+    from protein_redesign_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt_dir = save_dir / "checkpoints"
+    state, cfg = load_checkpoint(ckpt_dir)
+    k = int(state.step)
+    assert k >= 3
+
+    # Resume IN-PROCESS from the signal checkpoint for 2 more steps.
+    from protein_redesign_tpu.cli.train import main
+
+    main([
+        "--save_dir", str(save_dir),
+        "--data_dir", str(mini_data),
+        "--batch_size", "2",
+        "--buckets", "16,24",
+        "--esm_dim", "16", "--time_dim", "8", "--dist_dim", "8",
+        "--single_dim", "16", "--pair_dim", "8", "--head_dim", "4",
+        "--num_heads", "2", "--num_blocks", "1", "--num_steps", "4",
+        "--dtype", "float32",
+        "--trained_ckpt", str(ckpt_dir),
+        "--max_steps", str(k + 2), "--val_every_steps", str(k + 2),
+        "--log_every_steps", "1", "--warmup_steps", "2",
+    ])
+    state2, _ = load_checkpoint(ckpt_dir)
+    assert int(state2.step) == k + 2  # exact-step continuity
+    steps_logged = [
+        json.loads(l)["step"]
+        for l in (save_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    # The resumed run logged the CONTINUATION steps, not a restart at 1.
+    assert k + 1 in steps_logged and k + 2 in steps_logged
