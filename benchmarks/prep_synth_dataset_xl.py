@@ -24,13 +24,9 @@ from pathlib import Path
 
 import numpy as np
 
-from synth_common import (
-    AA,
-    HELIX_FORMERS,
-    STRAND_FORMERS,
-    fold_ca_trace,
-    protein_with_ca,
-)
+from synth_common import fold_ca_trace, protein_with_ca
+from prep_synth_dataset_xl_gen import _segment, sample_sequence  # noqa: F401
+
 from protein_redesign_tpu.chem.mol import mol_from_smiles, update_mol_positions
 from protein_redesign_tpu.chem.smiles import strip_cxsmiles
 from protein_redesign_tpu.data.dataset import save_complex_cache
@@ -42,36 +38,6 @@ DATA = ROOT / "data"
 CACHE = DATA / "cache"
 N_GEN = int(sys.argv[1]) if len(sys.argv) > 1 else 900
 
-HELIX = sorted(HELIX_FORMERS)
-STRAND = sorted(STRAND_FORMERS)
-COIL_BIAS = sorted(set("GPSNDT"))
-
-
-def _segment(rng, kind, length):
-    """Residues for one SS segment: 70% from the propensity set that
-    pulls `assign_secondary_structure` toward that state, 30% background
-    (uniform over all 20) so composition stays protein-like."""
-    pool = {"H": HELIX, "E": STRAND, "C": COIL_BIAS}[kind]
-    out = []
-    for _ in range(length):
-        if rng.random_sample() < 0.7:
-            out.append(pool[rng.randint(len(pool))])
-        else:
-            out.append(AA[rng.randint(20)])
-    return out
-
-
-def sample_sequence(rng):
-    """Alternating structured/coil segments to a 60-210 residue target."""
-    target = rng.randint(60, 211)
-    seq = []
-    while len(seq) < target:
-        if seq:
-            seq += _segment(rng, "C", rng.randint(2, 9))
-        kind = "H" if rng.random_sample() < 0.55 else "E"
-        length = rng.randint(5, 16) if kind == "H" else rng.randint(3, 10)
-        seq += _segment(rng, kind, length)
-    return "".join(seq[:target])
 
 
 def fixture_ligands():
