@@ -13,9 +13,12 @@ Replaces the reference's RDKit usage (`/root/reference/ProteinReDiff/mol.py`,
 - ``Molecule.distance_matrix``: BFS topological distances, mirroring
   ``Chem.GetDistanceMatrix`` (`data.py:45`).
 
-Perception here is heuristic (no Hückel electron counting beyond standard
-ring patterns); exact RDKit parity is impossible without RDKit, which is
-intentionally not a dependency of this framework.
+Perception follows RDKit's default models where they are well-defined
+(Hückel 4n+2 electron counting over rings and fused ring systems, orbital-
+count hybridization, setConjugation, Kekulé serialization, 3D stereo
+assignment); bit-exact RDKit parity is impossible without RDKit, which is
+intentionally not a dependency of this framework — known divergences are
+documented in docs/PARITY.md.
 """
 
 from __future__ import annotations
@@ -203,6 +206,119 @@ class Molecule:
             if da and db:
                 b.stereo = "STEREOE" if da == db else "STEREOZ"
 
+    def canonical_ranks(self) -> List[int]:
+        """Weisfeiler-Lehman refinement ranks: atoms with equal rank are
+        graph-equivalent under (element, charge, H count, degree, bond
+        orders). Used to exclude non-stereogenic centers from 3D stereo
+        perception (RDKit's ``AssignStereochemistry`` cleanup role)."""
+        adj = self.adjacency()
+        table: Dict[Tuple, int] = {}
+        cur = [
+            table.setdefault(
+                (a.atomic_num, a.formal_charge, self.total_num_hs(i),
+                 self.degree(i)),
+                len(table),
+            )
+            for i, a in enumerate(self.atoms)
+        ]
+        for _ in range(max(1, self.num_atoms())):
+            sigs = []
+            for i in range(self.num_atoms()):
+                nb = sorted(
+                    (int(round(self.bonds[bi].value() * 2)),
+                     cur[self.bonds[bi].other(i)])
+                    for bi in adj[i]
+                )
+                sigs.append((cur[i], tuple(nb)))
+            table2: Dict[Tuple, int] = {}
+            nxt = [table2.setdefault(s, len(table2)) for s in sigs]
+            stable = len(set(nxt)) == len(set(cur))
+            cur = nxt
+            if stable:
+                break
+        return cur
+
+    def assign_stereo_from_3d(self) -> None:
+        """Perceive double-bond E/Z and tetrahedral chirality from the
+        conformer, mirroring what RDKit's ``MolFromMolFile`` does on 3D
+        files (``DetectBondStereochemistry`` +
+        ``AssignChiralTypesFrom3D``) — the path real PDBbind ligand SDFs
+        take in the reference (`mol.py:37-53`). Conventions (index-
+        canonical, self-consistent; exact RDKit tag parity is not
+        claimed — docs/PARITY.md):
+
+        - E/Z: reference neighbors are the lowest-index neighbor on each
+          end; bond-plane projections anti -> STEREOE, syn -> STEREOZ.
+          Ends whose two substituents are WL-graph-equivalent are not
+          stereogenic and stay STEREONONE, as does degenerate geometry.
+        - Chirality: candidate centers are sp3 C/N/Si/P/S with
+          degree + total Hs == 4 and WL-distinct substituents; neighbors
+          sorted by index (implicit H last), positive signed volume ->
+          CHI_TETRAHEDRAL_CCW, negative -> CW.
+        """
+        if self.positions is None or self.num_atoms() < 3:
+            return
+        pos = self.positions.astype(np.float64)
+        ranks = self.canonical_ranks()
+
+        for b in self.bonds:
+            if (b.order != BOND_ORDER_DOUBLE or b.is_aromatic
+                    or b.is_in_ring or b.stereo != "STEREONONE"):
+                continue
+            na = sorted(j for j in self.neighbors(b.a1) if j != b.a2)
+            nb = sorted(j for j in self.neighbors(b.a2) if j != b.a1)
+            if not na or not nb or len(na) > 2 or len(nb) > 2:
+                continue
+            # Symmetric substituents on either end => not stereogenic.
+            if len(na) == 2 and ranks[na[0]] == ranks[na[1]]:
+                continue
+            if len(nb) == 2 and ranks[nb[0]] == ranks[nb[1]]:
+                continue
+            axis = pos[b.a2] - pos[b.a1]
+            an = float(axis @ axis)
+            if an < 1e-12:
+                continue
+            va = pos[na[0]] - pos[b.a1]
+            vb = pos[nb[0]] - pos[b.a2]
+            va = va - axis * (float(va @ axis) / an)
+            vb = vb - axis * (float(vb @ axis) / an)
+            norm = float(np.linalg.norm(va) * np.linalg.norm(vb))
+            if norm < 1e-9:
+                continue
+            cosang = float(va @ vb) / norm
+            if abs(cosang) < 0.1:  # perpendicular: geometry undecidable
+                continue
+            b.stereo = "STEREOZ" if cosang > 0 else "STEREOE"
+
+        for i, a in enumerate(self.atoms):
+            if (a.chirality != "CHI_UNSPECIFIED" or a.is_aromatic
+                    or a.atomic_num not in (6, 7, 14, 15, 16)
+                    or a.hybridization != "SP3"):
+                continue
+            nbrs = sorted(self.neighbors(i))
+            if len(nbrs) + self.total_num_hs(i) != 4 or len(nbrs) < 3:
+                continue
+            ranks_n = [ranks[j] for j in nbrs]
+            if len(set(ranks_n)) != len(ranks_n):
+                continue  # equivalent substituents: not a stereocenter
+            if len(nbrs) == 4:
+                ref = pos[nbrs[3]]
+                q = [pos[n] for n in nbrs[:3]]
+            else:
+                # Implicit H ranks last; the signed volume taken from the
+                # atom's own position has the same sign as from the H
+                # (both lie opposite the substituent plane).
+                ref = pos[i]
+                q = [pos[n] for n in nbrs]
+            v = np.stack([q[0] - ref, q[1] - ref, q[2] - ref])
+            det = float(np.linalg.det(v))
+            scale = float(np.prod([np.linalg.norm(x) for x in v]))
+            if scale < 1e-9 or abs(det) / scale < 0.05:
+                continue  # planar/degenerate geometry
+            a.chirality = (
+                "CHI_TETRAHEDRAL_CCW" if det > 0 else "CHI_TETRAHEDRAL_CW"
+            )
+
     def _perceive_rings(self) -> None:
         """Mark ring atoms/bonds: a bond is in a ring iff it is not a bridge."""
         n = self.num_atoms()
@@ -254,55 +370,142 @@ class Molecule:
                 self.atoms[b.a2].is_in_ring = True
 
     def ring_systems(self) -> List[List[int]]:
-        """Small rings (cycle basis, Paton) as atom-index lists, size <= 7."""
+        """Small rings as atom-index lists, size <= 7: the smallest ring
+        through EVERY ring bond (remove the bond, BFS the shortest
+        remaining path between its endpoints). Unlike a plain cycle
+        basis, this is guaranteed to contain each small chemical ring of
+        a fused polycyclic (a basis can represent a benzo ring only as a
+        symmetric difference of larger cycles, which broke aromaticity
+        perception on kekulized polycyclic ligands). Superset of SSSR
+        restricted to size <= 7; duplicates removed."""
         n = self.num_atoms()
         adj = self.adjacency()
-        parent = [-1] * n
-        parent_bond = [-1] * n
-        depth = [-1] * n
+        if not self.bonds:
+            return []
+        # Ring-bond flags may not be assigned yet (perceive() order);
+        # a bond is in a ring iff an alternative path joins its ends.
         rings: List[List[int]] = []
-        seen_edges = set()
-        for root in range(n):
-            if depth[root] >= 0:
-                continue
-            depth[root] = 0
-            q = deque([root])
-            while q:
-                u = q.popleft()
+        seen: set = set()
+        for skip_bi, b in enumerate(self.bonds):
+            # BFS from b.a1 to b.a2 avoiding skip_bi, depth-capped at 6.
+            start, goal = b.a1, b.a2
+            parent = {start: (-1, -1)}
+            q = deque([(start, 0)])
+            found = False
+            while q and not found:
+                u, d = q.popleft()
+                if d >= 6:
+                    continue
                 for bi in adj[u]:
+                    if bi == skip_bi:
+                        continue
                     v = self.bonds[bi].other(u)
-                    if depth[v] < 0:
-                        depth[v] = depth[u] + 1
-                        parent[v] = u
-                        parent_bond[v] = bi
-                        q.append(v)
-                    elif bi != parent_bond[u] and (bi not in seen_edges):
-                        seen_edges.add(bi)
-                        # Found a cycle: walk both endpoints to their LCA.
-                        pu, pv = u, v
-                        left, right = [pu], [pv]
-                        while depth[pu] > depth[pv]:
-                            pu = parent[pu]
-                            left.append(pu)
-                        while depth[pv] > depth[pu]:
-                            pv = parent[pv]
-                            right.append(pv)
-                        while pu != pv:
-                            pu = parent[pu]
-                            pv = parent[pv]
-                            left.append(pu)
-                            right.append(pv)
-                        ring = left + right[-2::-1]
-                        if 3 <= len(ring) <= 7:
-                            rings.append(ring)
+                    if v in parent:
+                        continue
+                    parent[v] = (u, bi)
+                    if v == goal:
+                        found = True
+                        break
+                    q.append((v, d + 1))
+            if not found:
+                continue
+            path = [goal]
+            u = goal
+            while parent[u][0] != -1:
+                u = parent[u][0]
+                path.append(u)
+            if 3 <= len(path) <= 7:
+                key = frozenset(path)
+                if key not in seen:
+                    seen.add(key)
+                    rings.append(path)
         return rings
 
+    def _huckel_contribution(self, i: int, in_set) -> Optional[int]:
+        """Pi-electron contribution of atom ``i`` inside a candidate
+        aromatic set (RDKit default-model electron counting,
+        ``Aromaticity.cpp``'s per-atom rules distilled):
+
+        - triple bond or cumulated doubles or >3 sigma connections -> None
+          (sp/sp3, aromaticity-incompatible);
+        - double or aromatic bond to another set member -> 1;
+        - exocyclic double bond (quinone C=O, fulvene C=C) -> 0;
+        - saturated group-15/16 heteroatom or anionic C -> 2 (lone-pair
+          donor: pyrrole N, furan O, thiophene S, cyclopentadienide C-);
+        - cationic saturated C or B -> 0 (empty p: tropylium, borole);
+        - anything else (saturated neutral C, cationic N, metals) -> None.
+        """
+        a = self.atoms[i]
+        if a.atomic_num not in AROMATIC_CANDIDATES and a.atomic_num != 5:
+            return None
+        n_dbl_in = n_dbl_out = n_arom_in = 0
+        for bi in self.adjacency()[i]:
+            b = self.bonds[bi]
+            if b.order == BOND_ORDER_TRIPLE:
+                return None
+            if b.is_aromatic or b.order == BOND_ORDER_AROMATIC:
+                if b.other(i) in in_set:
+                    n_arom_in += 1
+            elif b.order == BOND_ORDER_DOUBLE:
+                if b.other(i) in in_set:
+                    n_dbl_in += 1
+                else:
+                    n_dbl_out += 1
+        if n_dbl_in + n_dbl_out > 1:
+            return None  # cumulated doubles (allene-like)
+        sigma = self.degree(i) + (a.num_explicit_hs or 0)
+        if sigma > 3:
+            return None  # sp3 framework
+        if n_dbl_in or n_arom_in:
+            return 1
+        if n_dbl_out:
+            return 0
+        z, chg = a.atomic_num, a.formal_charge
+        if z in (8, 16, 34):
+            return 2
+        if z in (7, 15):
+            return 2 if chg <= 0 else None
+        if z == 6:
+            if chg == -1:
+                return 2
+            if chg == 1:
+                return 0
+            return None
+        if z == 5:
+            return 0  # boron: empty p orbital
+        return None
+
+    def _try_mark_aromatic(self, atom_set, bonds) -> bool:
+        """Mark ``atom_set`` aromatic if every member is pi-compatible and
+        the electron count satisfies Hückel 4n+2. Returns True on change."""
+        if all(b.is_aromatic for b in bonds):
+            return False  # already perceived (or explicit-flag input)
+        in_set = set(atom_set)
+        total = 0
+        for i in in_set:
+            c = self._huckel_contribution(i, in_set)
+            if c is None:
+                return False
+            total += c
+        if total < 2 or total % 4 != 2:
+            return False
+        for i in in_set:
+            self.atoms[i].is_aromatic = True
+        for b in bonds:
+            b.is_aromatic = True
+        return True
+
     def _perceive_aromaticity(self) -> None:
-        """Heuristic aromaticity: honor explicit flags, then mark planar
-        alternating rings (benzene-like) and classic heteroaromatics."""
-        self._lone_pair_donors: set = getattr(
-            self, "_lone_pair_donors", set()
-        )
+        """Aromaticity via Hückel 4n+2 pi-electron counting (RDKit's
+        default aromaticity model, the semantics behind the reference's
+        ``Chem.SanitizeMol`` at `mol.py:26-34`): honor explicit flags
+        (SMILES lowercase / SDF type-4 / MOL2 ``ar``), then evaluate each
+        small ring and each fused ring system on the Kekulé bond orders.
+        Per-ring passes iterate to a fixed point so fused systems whose
+        Kekulé structure leaves one ring short (indole's pyrrole ring,
+        acridine) resolve once their partner ring is marked; the
+        whole-system pass catches systems aromatic only as a unit
+        (anthracene's middle ring, purine written kekulized)."""
         # Explicit flags from SMILES lowercase / SDF-MOL2 aromatic bond types.
         for b in self.bonds:
             if b.order == BOND_ORDER_AROMATIC:
@@ -311,62 +514,52 @@ class Molecule:
                 self.atoms[b.a1].is_aromatic = True
                 self.atoms[b.a2].is_aromatic = True
 
-        # Kekulé-form detection: rings where every atom is a candidate element
-        # and the ring alternates single/double (6-ring) or has the classic
-        # 5-ring heteroaromatic pattern (2 double bonds + 1 heteroatom).
+        rings = []
         for ring in self.ring_systems():
-            k = len(ring)
-            if k not in (5, 6):
+            if len(ring) < 5:
                 continue
-            ring_bonds = []
-            ok = True
-            for idx in range(k):
-                i, j = ring[idx], ring[(idx + 1) % k]
-                b = self.bond_between(i, j)
+            bonds = []
+            for idx in range(len(ring)):
+                b = self.bond_between(ring[idx], ring[(idx + 1) % len(ring)])
                 if b is None:
-                    ok = False
                     break
-                ring_bonds.append(b)
-            if not ok:
+                bonds.append(b)
+            else:
+                rings.append((ring, bonds))
+
+        def ring_fixpoint() -> None:
+            changed = True
+            while changed:
+                changed = False
+                for ring, bonds in rings:
+                    changed |= self._try_mark_aromatic(ring, bonds)
+
+        ring_fixpoint()
+
+        # Fused ring systems: connected components of ring bonds.
+        comp_of: Dict[int, int] = {}
+        comps: Dict[int, List[Bond]] = {}
+
+        def find(x: int) -> int:
+            while comp_of.get(x, x) != x:
+                comp_of[x] = comp_of.get(comp_of[x], comp_of[x])
+                x = comp_of[x]
+            return x
+
+        for b in self.bonds:
+            if not b.is_in_ring:
                 continue
-            if any(a not in AROMATIC_CANDIDATES
-                   for a in (self.atoms[i].atomic_num for i in ring)):
-                continue
-            if any(b.order == BOND_ORDER_TRIPLE for b in ring_bonds):
-                continue
-            n_double = sum(1 for b in ring_bonds if b.order == BOND_ORDER_DOUBLE)
-            already = all(b.is_aromatic for b in ring_bonds)
-            aromatic = already
-            if not aromatic and k == 6 and n_double == 3:
-                # Alternation check.
-                orders = [b.order for b in ring_bonds]
-                aromatic = all(
-                    orders[t] != orders[(t + 1) % k] for t in range(k)
-                )
-            if not aromatic and k == 5 and n_double == 2:
-                # Classic furan/pyrrole/thiophene/imidazole pattern: the
-                # atom flanked by two single bonds donates a lone pair.
-                for idx in range(k):
-                    prev_b = ring_bonds[(idx - 1) % k]
-                    next_b = ring_bonds[idx]
-                    if (prev_b.order == BOND_ORDER_SINGLE
-                            and next_b.order == BOND_ORDER_SINGLE):
-                        donor = self.atoms[ring[idx]]
-                        if donor.atomic_num in (7, 8, 15, 16, 34):
-                            aromatic = True
-                            # Record the donor: after the ring bonds
-                            # become 1.5, implicit-H assignment can no
-                            # longer see that its Kekule valence was 2
-                            # (pyrrole N must keep its H; an aromatic-
-                            # input "n" correctly means pyridine-type,
-                            # so only Kekule detection records donors).
-                            self._lone_pair_donors.add(ring[idx])
-                        break
-            if aromatic:
-                for i in ring:
-                    self.atoms[i].is_aromatic = True
-                for b in ring_bonds:
-                    b.is_aromatic = True
+            ra, rb = find(b.a1), find(b.a2)
+            if ra != rb:
+                comp_of[ra] = rb
+        for b in self.bonds:
+            if b.is_in_ring:
+                comps.setdefault(find(b.a1), []).append(b)
+        for bonds in comps.values():
+            atom_set = {b.a1 for b in bonds} | {b.a2 for b in bonds}
+            if len(atom_set) >= 5:
+                self._try_mark_aromatic(sorted(atom_set), bonds)
+        ring_fixpoint()
 
     def _assign_implicit_hs(self) -> None:
         for i, atom in enumerate(self.atoms):
@@ -380,14 +573,20 @@ class Molecule:
             bond_sum = sum(self.bonds[bi].value() for bi in self.adjacency()[i])
             # Lone-pair donors use their sigma framework as the valence
             # sum: group-16 members (furan O, thiophene S) always donate,
-            # and Kekule-detected 5-ring donors (pyrrole/imidazole NH —
-            # recorded by _perceive_aromaticity before the ring bonds
-            # became 1.5) keep their H the same way. Aromatic-input "n"
-            # without [nH] correctly means pyridine-type (0 H), matching
-            # RDKit.
+            # and an aromatic N/P whose incident bonds are ALL single in
+            # the Kekulé structure donated its lone pair (pyrrole,
+            # imidazole, N-methylpyrrole) — it keeps its sigma H count.
+            # An aromatic-input "n" (order-4 bonds, no Kekulé orders)
+            # correctly means pyridine-type (0 H), matching RDKit; a
+            # kekulized pyridine N has a double bond so is excluded too.
+            # This rule survives re-perception (remove_hs, copy) because
+            # it reads only bond orders, never side tables.
             if atom.is_aromatic and (
                 atom.atomic_num in (8, 16, 34)
-                or i in getattr(self, "_lone_pair_donors", ())
+                or (atom.atomic_num in (7, 15) and all(
+                    self.bonds[bi].order == BOND_ORDER_SINGLE
+                    for bi in self.adjacency()[i]
+                ))
             ):
                 bond_sum = self.degree(i)
             else:
@@ -399,6 +598,10 @@ class Molecule:
                 effective = [v + charge_adj for v in valences]
             elif atom.atomic_num == 6:
                 effective = [v - abs(charge_adj) for v in valences]
+            elif atom.atomic_num in (9, 17, 35, 53) and charge_adj < 0:
+                # Halide anions: Cl- etc. have valence 0, no implicit H
+                # (RDKit SanitizeMol semantics for charged halogens).
+                effective = [max(0, v + charge_adj) for v in valences]
             else:
                 effective = list(valences)
             nh = 0
@@ -629,7 +832,9 @@ def mol_from_sdf(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mol
                     atoms[idx].num_radical_electrons = val
         elif ln.startswith("M  END") or ln.startswith("$$$$"):
             break
-    return Molecule(atoms, bonds, positions, name).perceive()
+    mol = Molecule(atoms, bonds, positions, name).perceive()
+    mol.assign_stereo_from_3d()
+    return mol
 
 
 _MOL2_BOND_ORDER = {"1": 1, "2": 2, "3": 3, "ar": BOND_ORDER_AROMATIC,
@@ -713,9 +918,11 @@ def mol_from_mol2(text_or_path: Union[str, Path], *, is_path: bool = True) -> Mo
         singles = [o for o, order in pairs if order == 1]
         target = singles[0] if singles else max(o for o, _ in pairs)
         atoms[target].formal_charge = -1
-    return Molecule(
+    mol = Molecule(
         atoms, bonds, np.array(positions, dtype=np.float32), name
     ).perceive()
+    mol.assign_stereo_from_3d()
+    return mol
 
 
 def mol_from_smiles(smiles: str) -> Molecule:
@@ -747,8 +954,109 @@ def standardize_mol(mol: Molecule) -> Molecule:
 
 
 # ------------------------------------------------------------------- writers
+def kekulized_bond_orders(mol: Molecule) -> List[int]:
+    """Kekulé bond orders for serialization (RDKit ``Kekulize``
+    semantics, which RDKit's SDWriter applies before writing — real
+    PDBbind SDFs arrive in this form): aromatic bonds resolve to
+    alternating single/double via a perfect matching over the atoms
+    whose charge-adjusted valence demands one more bond. A system with
+    no matching (inconsistent aromatic flags) falls back to the SDF
+    aromatic bond type 4 rather than failing."""
+    adj = mol.adjacency()
+    orders: List[Optional[int]] = [
+        None if (b.is_aromatic or b.order == BOND_ORDER_AROMATIC) else b.order
+        for b in mol.bonds
+    ]
+    if all(o is not None for o in orders):
+        return orders  # type: ignore[return-value]
+
+    arom_adj: Dict[int, List[int]] = {}
+    for bi, b in enumerate(mol.bonds):
+        if orders[bi] is None:
+            arom_adj.setdefault(b.a1, []).append(bi)
+            arom_adj.setdefault(b.a2, []).append(bi)
+
+    def needs_double(i: int) -> bool:
+        a = mol.atoms[i]
+        valences = DEFAULT_VALENCES.get(a.atomic_num)
+        if valences is None:
+            return False
+        chg = a.formal_charge
+        if a.atomic_num in (7, 8, 15, 16, 34):
+            target = valences[0] + chg
+        elif a.atomic_num == 6:
+            target = valences[0] - abs(chg)
+        else:
+            target = valences[0]
+        sigma = mol.degree(i) + a.num_implicit_hs
+        extra = sum(
+            mol.bonds[bi].order - 1
+            for bi in adj[i]
+            if not (mol.bonds[bi].is_aromatic
+                    or mol.bonds[bi].order == BOND_ORDER_AROMATIC)
+            and mol.bonds[bi].order in (2, 3)
+        )
+        return (target - sigma - extra) >= 1
+
+    # Connected components of the aromatic subgraph, matched independently
+    # so one unkekulizable system degrades only itself.
+    seen_atoms: set = set()
+    for start in sorted(arom_adj):
+        if start in seen_atoms:
+            continue
+        comp_atoms: List[int] = []
+        comp_bonds: set = set()
+        stack = [start]
+        seen_atoms.add(start)
+        while stack:
+            u = stack.pop()
+            comp_atoms.append(u)
+            for bi in arom_adj[u]:
+                comp_bonds.add(bi)
+                v = mol.bonds[bi].other(u)
+                if v not in seen_atoms:
+                    seen_atoms.add(v)
+                    stack.append(v)
+
+        unmatched = {i for i in comp_atoms if needs_double(i)}
+        assign: Dict[int, int] = {}
+
+        def backtrack() -> bool:
+            if not unmatched:
+                return True
+            # Most-constrained atom first.
+            def n_options(x: int) -> int:
+                return sum(
+                    1 for bi in arom_adj[x]
+                    if bi not in assign and mol.bonds[bi].other(x) in unmatched
+                )
+            i = min(unmatched, key=n_options)
+            cands = [bi for bi in arom_adj[i]
+                     if bi not in assign and mol.bonds[bi].other(i) in unmatched]
+            for bi in cands:
+                j = mol.bonds[bi].other(i)
+                unmatched.difference_update((i, j))
+                assign[bi] = BOND_ORDER_DOUBLE
+                if backtrack():
+                    return True
+                unmatched.update((i, j))
+                del assign[bi]
+            return False
+
+        if backtrack():
+            for bi in comp_bonds:
+                orders[bi] = assign.get(bi, BOND_ORDER_SINGLE)
+        else:
+            for bi in comp_bonds:
+                orders[bi] = BOND_ORDER_AROMATIC
+    return [o if o is not None else BOND_ORDER_AROMATIC for o in orders]
+
+
 def mol_to_sdf(mol: Molecule, name: Optional[str] = None) -> str:
-    """Serialize one molecule as an SDF (V2000) record."""
+    """Serialize one molecule as an SDF (V2000) record. Aromatic bonds
+    are written kekulized (single/double), matching RDKit's SDWriter;
+    aromaticity and heteroatom H counts are recovered on read by the
+    Hückel perception + lone-pair-donor valence rules."""
     pos = mol.positions
     if pos is None:
         pos = np.zeros((mol.num_atoms(), 3), dtype=np.float32)
@@ -762,8 +1070,8 @@ def mol_to_sdf(mol: Molecule, name: Optional[str] = None) -> str:
             f"{x:>10.4f}{y:>10.4f}{z:>10.4f} {a.symbol:<3} 0  0  0  0  0  0"
             "  0  0  0  0  0  0"
         )
-    for b in mol.bonds:
-        order = BOND_ORDER_AROMATIC if b.is_aromatic else b.order
+    kek = kekulized_bond_orders(mol)
+    for b, order in zip(mol.bonds, kek):
         lines.append(f"{b.a1 + 1:>3}{b.a2 + 1:>3}{order:>3}  0")
     charged = [(i, a.formal_charge) for i, a in enumerate(mol.atoms)
                if a.formal_charge != 0]

@@ -397,22 +397,51 @@ def main(argv=None):
     # latency win for small datasets, and on tunneled platforms (axon) the
     # only way to fully avoid the client's per-transfer host-memory leak.
     cached_batches = None
+    host_batches: list = []
     if train_cfg.cache_device_batches:
-        cached_batches = [to_device(b) for b in batches(
+        epoch0 = list(batches(
             train_ds, data_cfg.batch_size, data_cfg.buckets,
             shuffle=True, seed=train_cfg.seed, epoch=0, accum=accum,
             num_shards=n_hosts, shard_index=jax.process_index(),
             fixed_bucket=fixed_bucket,
-        )]
-        print(f"device batch cache: {len(cached_batches)} batches resident")
+        ))
+        # --device_cache_gb bounds the device-resident prefix (host-side
+        # batch bytes as the proxy for HBM use); the overflow stays as
+        # host-resident collated batches streamed per epoch, so epoch
+        # COMPOSITION is identical to the unbounded cache and only the
+        # transfer pattern differs.
+        budget = (
+            train_cfg.device_cache_gb * 1e9
+            if train_cfg.device_cache_gb > 0 else float("inf")
+        )
+        used = 0.0
+        split = len(epoch0)
+        for k, b in enumerate(epoch0):
+            nb = float(sum(np.asarray(v).nbytes for v in b.values()))
+            if used + nb > budget:
+                split = k
+                break
+            used += nb
+        cached_batches = [to_device(b) for b in epoch0[:split]]
+        host_batches = epoch0[split:]
+        msg = f"device batch cache: {len(cached_batches)} batches resident"
+        if host_batches:
+            msg += (f", {len(host_batches)} host-resident streamed/epoch "
+                    f"(--device_cache_gb {train_cfg.device_cache_gb})")
+        print(msg)
 
     with maybe_profile(save_dir, args.profile):
         while not stop:
             if cached_batches is not None:
                 order = np.random.RandomState(
                     train_cfg.seed + 7919 * (epoch + 1)
-                ).permutation(len(cached_batches))
-                it = (cached_batches[i] for i in order)
+                ).permutation(len(cached_batches) + len(host_batches))
+                n_dev = len(cached_batches)
+                it = (
+                    cached_batches[i] if i < n_dev
+                    else to_device(host_batches[i - n_dev])
+                    for i in order
+                )
             else:
                 # Per-host epoch sharding (DistributedSampler semantics):
                 # each process reads only its stride of the shared

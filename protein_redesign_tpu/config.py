@@ -311,6 +311,18 @@ class TrainConfig:
     #                                whose collated batches fit in HBM;
     #                                eliminates steady-state host->device
     #                                traffic entirely
+    device_cache_gb: float = 0.0   # with --cache_device_batches: cap the
+    #                                device-resident batch cache at this
+    #                                many GB (host-side batch bytes as the
+    #                                proxy); overflow batches stay host-
+    #                                resident and are streamed per epoch.
+    #                                0 = unlimited (small-dataset quality
+    #                                cells, the round-3 behavior). Lets
+    #                                PDBbind-scale datasets (25k+ complexes,
+    #                                far beyond HBM) keep the zero-transfer
+    #                                fast path for the hot subset while
+    #                                bounding the per-epoch leak of the
+    #                                tunneled axon client proportionally.
     lr_decay_steps: int = 0        # >0: cosine-decay the LR over this many
     #                                steps after warmup (beyond reference,
     #                                whose LinearLR ramps then stays

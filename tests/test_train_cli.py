@@ -272,3 +272,34 @@ def test_sigterm_checkpoints_and_resumes(mini_data, tmp_path):
     ]
     # The resumed run logged the CONTINUATION steps, not a restart at 1.
     assert k + 1 in steps_logged and k + 2 in steps_logged
+
+
+def test_train_cli_bounded_device_cache(mini_data, tmp_path, capsys):
+    """--device_cache_gb: a tiny budget keeps only a prefix of the
+    epoch-0 batches device-resident and streams the rest, with epoch
+    composition identical to the unbounded cache (PDBbind-scale path)."""
+    from protein_redesign_tpu.cli.train import main
+
+    save_dir = tmp_path / "run_bounded"
+    main([
+        "--save_dir", str(save_dir),
+        "--data_dir", str(mini_data),
+        "--batch_size", "2",
+        "--buckets", "16,24",
+        "--esm_dim", "16", "--time_dim", "8", "--dist_dim", "8",
+        "--single_dim", "16", "--pair_dim", "8", "--head_dim", "4",
+        "--num_heads", "2", "--num_blocks", "1", "--num_steps", "4",
+        "--dtype", "float32",
+        "--max_steps", "6", "--val_every_steps", "6",
+        "--log_every_steps", "1", "--warmup_steps", "2",
+        "--cache_device_batches",
+        "--device_cache_gb", "1e-6",  # ~1 KB: forces host-resident overflow
+    ])
+    out = capsys.readouterr().out
+    assert "host-resident streamed/epoch" in out
+    metrics = [
+        json.loads(l)
+        for l in (save_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    losses = [m["train_loss"] for m in metrics if "train_loss" in m]
+    assert len(losses) >= 6 and all(np.isfinite(losses))
