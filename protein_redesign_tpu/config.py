@@ -108,6 +108,21 @@ class ModelConfig:
     #                                  load — utils/checkpoint.py); opt
     #                                  back in per-run with
     #                                  --outer_factored.
+    pair_stream_bf16: bool = False   # carry the [B,N,N,pair_dim] PAIR
+    #                                  residual stream in bfloat16 across
+    #                                  the folding-block stack (cast in
+    #                                  before block 0, cast out before the
+    #                                  final symmetrization). Halves the
+    #                                  HBM traffic of every pair-op
+    #                                  read/modify/write — the binding
+    #                                  bound for the trimul/transition ops
+    #                                  in the h64x1 roofline (VERDICT r3
+    #                                  item 3 lever; benchmarks/r4_probes
+    #                                  bf16pair). Numerics: block-internal
+    #                                  math already runs at cfg.dtype;
+    #                                  this only demotes the residual
+    #                                  ACCUMULATOR, so it is opt-in and
+    #                                  excluded from parity tests.
     use_pallas_bwd: bool = True      # differentiate the rows-attention
     #                                  kernel through a flash-style Pallas
     #                                  BACKWARD (ops/pallas_attention.

@@ -603,6 +603,14 @@ class Denoiser(nn.Module):
             name="spa_attn", **kw,
         )(single, pair, mask)
 
+        if cfg.pair_stream_bf16:
+            # Residual-stream demotion (opt-in, config.py pair_stream_bf16):
+            # the [B,N,N,D] pair tensor is read+written by all six pair ops
+            # per block; bf16 halves that HBM traffic. Module internals
+            # already compute at cfg.dtype — this narrows only the
+            # accumulator the residual adds land in.
+            pair = pair.astype(jnp.bfloat16)
+
         BlockStack = nn.remat(FoldingBlock) if cfg.remat else FoldingBlock
         for i in range(cfg.num_blocks):
             if cfg.sequence_parallel:
@@ -632,5 +640,6 @@ class Denoiser(nn.Module):
         if cfg.sequence_parallel:
             pair = _shard_complex_axis(pair)
 
+        pair = pair.astype(dtype)  # restore cfg.dtype post-stack
         pair = 0.5 * (pair + jnp.swapaxes(pair, -2, -3))
         return single, pair

@@ -334,3 +334,36 @@ class TestOuterLinearFactored:
         np.testing.assert_allclose(
             np.asarray(fac_seq), np.asarray(ref_seq), atol=5e-5, rtol=5e-5
         )
+
+
+class TestPairStreamBf16:
+    def test_forward_close_and_finite(self):
+        """pair_stream_bf16 (the HBM-traffic lever, config.py): same
+        params, demoted pair residual accumulator — outputs must stay
+        finite and close to the f32-stream forward."""
+        batch = make_batch()
+        ref_model = ProteinReDiffModel(TINY)
+        bf_model = ProteinReDiffModel(TINY.replace(pair_stream_bf16=True))
+        key = jax.random.PRNGKey(0)
+        params = ref_model.init_params(key, batch)
+        prepared = ref_model.prepare_batch(
+            batch, key, training=False, mask_prob=0.3
+        )
+        B, N = batch["residue_mask"].shape
+        rng = np.random.RandomState(11)
+        z = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        seq = jnp.asarray(rng.randn(B, N, NUM_CLASSES), jnp.float32)
+        mask = prepared["residue_and_atom_mask"]
+        t = jnp.ones((B,), jnp.int32)
+        ref_pos, ref_seq = ref_model.apply(params, prepared, z, seq, mask, t)
+        bf_pos, bf_seq = bf_model.apply(params, prepared, z, seq, mask, t)
+        assert np.isfinite(np.asarray(bf_pos)).all()
+        assert np.isfinite(np.asarray(bf_seq)).all()
+        # bf16 has ~3 decimal digits; demoting only the residual stream
+        # keeps outputs within a relative ~1e-2 of the f32 stream.
+        np.testing.assert_allclose(
+            np.asarray(bf_pos), np.asarray(ref_pos), atol=5e-2, rtol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(bf_seq), np.asarray(ref_seq), atol=5e-2, rtol=5e-2
+        )
