@@ -387,3 +387,66 @@ def test_polycyclic_kekulized_benzo_rings_survive_roundtrip():
         assert [back.total_num_hs(i) for i in range(n)] == [
             mol.total_num_hs(i) for i in range(n)
         ], s
+
+
+def test_mol2_kekulized_pyrrole_and_indole():
+    """MOL2 files written KEKULIZED (bond types 1/2, no 'ar') must
+    perceive aromaticity + the pyrrole NH via the Hückel path, same as
+    kekulized SDFs — the reference falls back to MOL2 when the SDF is
+    unreadable (`mol.py:40-49`)."""
+    from protein_redesign_tpu.chem.mol import mol_from_mol2
+
+    pyrrole = """@<TRIPOS>MOLECULE
+pyrrole-kek
+ 5 5 1
+SMALL
+NO_CHARGES
+
+@<TRIPOS>ATOM
+      1 N1   0.000  1.124 0.0 N.pl3  1 LIG  0.0
+      2 C2   1.073  0.325 0.0 C.2    1 LIG  0.0
+      3 C3   0.662 -0.994 0.0 C.2    1 LIG  0.0
+      4 C4  -0.662 -0.994 0.0 C.2    1 LIG  0.0
+      5 C5  -1.073  0.325 0.0 C.2    1 LIG  0.0
+@<TRIPOS>BOND
+     1 1 2 1
+     2 2 3 2
+     3 3 4 1
+     4 4 5 2
+     5 5 1 1
+"""
+    mol = mol_from_mol2(pyrrole, is_path=False)
+    assert all(a.is_aromatic for a in mol.atoms)
+    assert mol.total_num_hs(0) == 1  # the NH survives
+
+    indole = """@<TRIPOS>MOLECULE
+indole-kek
+ 9 10 1
+SMALL
+NO_CHARGES
+
+@<TRIPOS>ATOM
+      1 N1   0.0  0.0 0.0 N.pl3  1 LIG  0.0
+      2 C2   1.3  0.4 0.0 C.2    1 LIG  0.0
+      3 C3   2.1 -0.7 0.0 C.2    1 LIG  0.0
+      4 C3a  1.3 -1.8 0.0 C.2    1 LIG  0.0
+      5 C4   1.5 -3.2 0.0 C.2    1 LIG  0.0
+      6 C5   0.5 -4.1 0.0 C.2    1 LIG  0.0
+      7 C6  -0.8 -3.7 0.0 C.2    1 LIG  0.0
+      8 C7  -1.1 -2.4 0.0 C.2    1 LIG  0.0
+      9 C7a -0.1 -1.4 0.0 C.2    1 LIG  0.0
+@<TRIPOS>BOND
+     1 1 2 1
+     2 2 3 2
+     3 3 4 1
+     4 4 5 2
+     5 5 6 1
+     6 6 7 2
+     7 7 8 1
+     8 8 9 2
+     9 9 1 1
+    10 4 9 1
+"""
+    mol = mol_from_mol2(indole, is_path=False)
+    assert all(a.is_aromatic for a in mol.atoms)
+    assert mol.total_num_hs(0) == 1
