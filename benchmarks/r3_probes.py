@@ -145,9 +145,21 @@ def trimul_op_bench(dmajor, bucket, iters=30):
           f"({fl/1e9:.2f} GF -> MFU {mfu(fl, per)*100:.1f}%)", flush=True)
 
 
-def module_bench(make_args, flops, label, iters=30):
+def dispatch_overhead():
+    """Per-timed_fetch fixed cost (jit dispatch + tunnel RTT + host fetch)
+    measured on a trivial program. The round-3/round-4 per-op tables were
+    polluted by this: at iters=30 the ~25 ms axon RTT adds ~0.8 ms to
+    every 'ms/call' — subtract it and amortize over many more iters."""
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0).lower(x).compile()
+    timed_fetch(f, x)
+    ts = [timed_fetch(f, x)[0] for _ in range(5)]
+    return min(ts)
+
+
+def module_bench(make_args, flops, label, iters=30, overhead_s=0.0):
     """One module scanned: state is the first argument; extra args are
-    closed over. Returns s/call."""
+    closed over. Returns s/call (minus the given fixed dispatch cost)."""
     mod, params, state0, extra = make_args()
 
     @jax.jit
@@ -161,7 +173,7 @@ def module_bench(make_args, flops, label, iters=30):
     timed_fetch(compiled, params, state0)
     dt, _ = timed_fetch(compiled, params, state0)
     dt2, _ = timed_fetch(compiled, params, state0)
-    per = min(dt, dt2) / iters
+    per = max(0.0, min(dt, dt2) - overhead_s) / iters
     print(f"[op {label}]: {per*1e3:.3f} ms/call "
           f"({flops/1e9:.2f} GF -> MFU {mfu(flops, per)*100:.1f}%)",
           flush=True)

@@ -86,6 +86,11 @@ def cmd_roofline(args):
     HC = H * C
     rng = np.random.RandomState(0)
     ns = (384, 512) if args.wide else (384,)
+    from r3_probes import dispatch_overhead
+    ovh = dispatch_overhead()
+    print(f"[harness]: dispatch+fetch overhead {ovh*1e3:.1f} ms "
+          f"(subtracted; iters=400)", flush=True)
+    ITERS = 400
     for N in ns:
         N2, N3 = float(N) ** 2, float(N) ** 3
         pair = jnp.asarray(rng.randn(1, N, N, D), jnp.float32)
@@ -102,12 +107,13 @@ def cmd_roofline(args):
         tm_fl = 12 * N2 * D * D + 2 * D * N3
         per = module_bench(setup(
             TriangleMultiplication("outgoing", dtype=jnp.bfloat16),
-            pair, mask2d), tm_fl, f"trimul N={N}")
+            pair, mask2d), tm_fl, f"trimul N={N}",
+            iters=ITERS, overhead_s=ovh)
         sol_line(f"trimul N={N}", per,
                  [(8 * N2 * D * D, D, 4 * D),   # a/b + gates in-proj
                   (4 * N2 * D * D, D, D),       # out proj + out gate
                   (2 * D * N3, N, N)],          # the N-contraction einsum
-                 traffic_bytes=9 * N2 * D * 2)
+                 traffic_bytes=9 * N2 * D * 2 + 2 * N2 * D * 4)
 
         # --- triangle attention (x2 per block), C=64 ---
         ta_fl = 10 * N2 * D * HC + 4 * HC * N3 + 2 * N2 * D * H
@@ -115,14 +121,15 @@ def cmd_roofline(args):
             per = module_bench(setup(
                 TriangleAttention(C, H, "starting", use_pallas=use_pallas,
                                   dtype=jnp.bfloat16),
-                pair, mask2d), ta_fl, f"tri-attn[{tag}] N={N}")
+                pair, mask2d), ta_fl, f"tri-attn[{tag}] N={N}",
+                iters=ITERS, overhead_s=ovh)
             sol_line(f"tri-attn[{tag}] N={N}", per,
                      [(8 * N2 * D * HC, D, HC),  # q,k,v,gate
                       (2 * HC * N3, C, N),       # logits (K=C)
                       (2 * HC * N3, N, C),       # AV (K=N)
                       (2 * N2 * HC * D, HC, D),  # out proj
                       (2 * N2 * D * H, D, H)],   # pair-bias proj
-                     traffic_bytes=(2 + 8 + 2) * N2 * D * 2 + N2 * 4)
+                     traffic_bytes=(2 + 8 + 2) * N2 * D * 2 + N2 * 4 + 2 * N2 * D * 4)
 
         # --- OuterLinear (x1 per block): factored vs concat ---
         ol_fl = 2 * N2 * (2 * S) * D
@@ -136,14 +143,14 @@ def cmd_roofline(args):
                     upd = ol.apply(params, s)
                     fold = jnp.tile(upd.mean(axis=1), (1, 1, S // D))
                     return s + 0.001 * fold.astype(s.dtype), None
-                s, _ = jax.lax.scan(body, s0, None, length=20)
+                s, _ = jax.lax.scan(body, s0, None, length=400)
                 return s
 
             compiled = ol_loop.lower(olp, single).compile()
             timed_fetch(compiled, olp, single)
             d1, _ = timed_fetch(compiled, olp, single)
             d2, _ = timed_fetch(compiled, olp, single)
-            per = min(d1, d2) / 20
+            per = max(0.0, min(d1, d2) - ovh) / 400
             tag = "fac" if fac else "concat"
             print(f"[op outer_linear[{tag}] N={N}]: {per*1e3:.3f} ms",
                   flush=True)
@@ -161,17 +168,17 @@ def cmd_roofline(args):
         pf_fl = 4 * N2 * D * D * tf
         per = module_bench(setup(
             TransitionMLP(D * tf, D, dtype=jnp.bfloat16), pair),
-            pf_fl, f"pair-transition N={N}")
+            pf_fl, f"pair-transition N={N}", iters=ITERS, overhead_s=ovh)
         sol_line(f"pair-transition N={N}", per,
                  [(2 * N2 * D * D * tf, D, D * tf),
                   (2 * N2 * D * tf * D, D * tf, D)],
-                 traffic_bytes=(2 + 2 * tf) * N2 * D * 2)
+                 traffic_bytes=(2 + 2 * tf) * N2 * D * 2 + 2 * N2 * D * 4)
 
         # --- single-track transition (x1 per block; small) ---
         sf_fl = 4 * N * S * S * tf
         per = module_bench(setup(
             TransitionMLP(S * tf, S, dtype=jnp.bfloat16), single),
-            sf_fl, f"single-transition N={N}")
+            sf_fl, f"single-transition N={N}", iters=ITERS, overhead_s=ovh)
         sol_line(f"single-transition N={N}", per,
                  [(2 * N * S * S * tf, S, S * tf),
                   (2 * N * S * tf * S, S * tf, S)],
