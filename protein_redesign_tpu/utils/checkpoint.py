@@ -118,7 +118,7 @@ def load_checkpoint(
         cfg_dict = dict(cfg_restored["config"])
         _default_absent_outer_factored(cfg_dict)
         cfg_dict.update(config_overrides)
-        cfg = ModelConfig(**cfg_dict)
+        cfg = _build_model_config(cfg_dict)
 
         if target_factory is not None:
             template = target_factory(cfg)
@@ -183,7 +183,7 @@ def load_params_only(
     # was written (see load_checkpoint).
     abstract = _abstract_from_metadata(ckptr.metadata(path / "params"))
     params = ckptr.restore(path / "params", abstract)
-    return params, ModelConfig(**cfg_dict)
+    return params, _build_model_config(cfg_dict)
 
 
 def _default_absent_outer_factored(cfg_dict: dict) -> None:
@@ -193,6 +193,25 @@ def _default_absent_outer_factored(cfg_dict: dict) -> None:
     the new default-True via ``ModelConfig(**cfg_dict)``. Field-present
     checkpoints keep their stored value; explicit overrides still win."""
     cfg_dict.setdefault("outer_factored", False)
+
+
+def _build_model_config(cfg_dict: dict) -> ModelConfig:
+    """Forward-tolerant config restore: a checkpoint written by a NEWER
+    framework version may carry config keys this version does not know.
+    Dropping them (with a warning) restores everything the current code
+    can represent instead of crashing the load — new fields default to
+    behavior-preserving values by convention (config.py)."""
+    known = {f.name for f in dataclasses.fields(ModelConfig)}
+    unknown = sorted(set(cfg_dict) - known)
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            "Checkpoint config carries unknown keys (written by a newer "
+            f"version?): {unknown} — ignored.",
+        )
+        cfg_dict = {k: v for k, v in cfg_dict.items() if k in known}
+    return ModelConfig(**cfg_dict)
 
 
 def _abstract_from_metadata(meta: Any) -> Any:

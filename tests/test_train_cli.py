@@ -303,3 +303,55 @@ def test_train_cli_bounded_device_cache(mini_data, tmp_path, capsys):
     ]
     losses = [m["train_loss"] for m in metrics if "train_loss" in m]
     assert len(losses) >= 6 and all(np.isfinite(losses))
+
+
+def test_unknown_config_keys_restore_with_warning(mini_data, tmp_path):
+    """Forward compatibility: a checkpoint whose config JSON carries keys
+    this version does not know (written by a newer framework) restores
+    with a warning instead of a TypeError (utils/checkpoint.py
+    _build_model_config)."""
+    import warnings
+
+    from protein_redesign_tpu.cli.train import main
+    from protein_redesign_tpu.utils.checkpoint import load_checkpoint
+
+    save_dir = tmp_path / "run_fwd"
+    main([
+        "--save_dir", str(save_dir),
+        "--data_dir", str(mini_data),
+        "--batch_size", "2",
+        "--buckets", "16,24",
+        "--esm_dim", "16", "--time_dim", "8", "--dist_dim", "8",
+        "--single_dim", "16", "--pair_dim", "8", "--head_dim", "4",
+        "--num_heads", "2", "--num_blocks", "1", "--num_steps", "4",
+        "--dtype", "float32",
+        "--max_steps", "1", "--val_every_steps", "1",
+        "--log_every_steps", "1", "--warmup_steps", "1",
+    ])
+    ckpt = save_dir / "checkpoints"
+    # Inject a future-version key into the stored config JSON.
+    import json as _json
+
+    for meta in ckpt.glob("*/config/*"):
+        if meta.name.endswith(".json") or meta.name == "metadata":
+            pass
+    # Orbax stores the config item as a JSON file under <step>/config.
+    cfg_files = list(ckpt.glob("*/config*/**/*.json")) or list(
+        ckpt.glob("*/config/*")
+    )
+    patched = 0
+    for f in cfg_files:
+        try:
+            d = _json.loads(f.read_text())
+        except Exception:
+            continue
+        if isinstance(d, dict) and "single_dim" in d:
+            d["field_from_the_future"] = 123
+            f.write_text(_json.dumps(d))
+            patched += 1
+    assert patched, f"no config JSON found under {ckpt}"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        state, cfg = load_checkpoint(ckpt)
+    assert cfg.single_dim == 16
+    assert any("field_from_the_future" in str(x.message) for x in w)
