@@ -45,7 +45,11 @@ def compiled_flops(compiled) -> Optional[float]:
 
 def mfu(flops: float, seconds: float,
         peak_flops: float = PEAK_FLOPS_V5E) -> float:
-    """Fraction of chip peak achieved by `flops` of work in `seconds`."""
+    """Fraction of chip peak achieved by `flops` of work in `seconds`.
+    seconds <= 0 (an op benchmarked below the measurement floor) maps to
+    inf rather than raising — probe harnesses print and move on."""
+    if seconds <= 0:
+        return float("inf")
     return flops / (seconds * peak_flops)
 
 
