@@ -65,7 +65,12 @@ def make_variant_kernel(RB, softmax_dtype, use_mask):
             q = q_ref[b, 0]
             k = k_ref[b, 0]
             v = v_ref[b, 0]
-            logits = jnp.dot(q, k.T, preferred_element_type=softmax_dtype)
+            # MXU accumulators must be 32-bit; the softmax dtype applies
+            # from the cast onward (bf16 = packed VPU exp/sum, half the
+            # [N,N] VMEM).
+            logits = jnp.dot(
+                q, k.T, preferred_element_type=jnp.float32
+            ).astype(softmax_dtype)
             if use_mask:
                 mask = mask_ref[b, 0]
                 logits = jnp.where(mask[None, :] < 0.5,

@@ -237,6 +237,22 @@ def cmd_step(args):
                              f"h64x1 remat={'on' if remat else 'off'}")
 
 
+def cmd_stepkern(args):
+    """Whole fwd + train step at h64x1 with the rows kernel FORCED
+    (use_pallas=True), vs the auto plan (which currently excludes
+    head_dim >= 32): the corrected op probes show the C=64 kernel core
+    1.45x XLA at N=384 and 1.36x at N=512 — measure it at program level
+    before flipping resolve_attention_plan."""
+    for bucket, n_res in ((384, 304), (512, 420)):
+        for kern, tag in ((False, "auto(xla)"), (True, "kernel")):
+            cfg = H64.replace(use_pallas=kern)
+            fwd_bench(cfg, bucket, n_res, 20, f"h64x1 {tag}")
+        for kern, tag in ((False, "auto(xla)"), (True, "kernel")):
+            cfg = H64.replace(training_mode=True, remat=False,
+                              use_pallas=kern)
+            train_step_bench(cfg, bucket, n_res, 6, f"h64x1 {tag}")
+
+
 def cmd_bf16pair(args):
     """bf16 pair residual stream (the candidate h64x1 bandwidth lever):
     fwd + train step vs the f32-stream default."""
@@ -257,10 +273,11 @@ def main():
     r.add_argument("--wide", action="store_true")
     sub.add_parser("step")
     sub.add_parser("bf16pair")
+    sub.add_parser("stepkern")
     args = p.parse_args()
     enable_compilation_cache()
     {"roofline": cmd_roofline, "step": cmd_step,
-     "bf16pair": cmd_bf16pair}[args.cmd](args)
+     "bf16pair": cmd_bf16pair, "stepkern": cmd_stepkern}[args.cmd](args)
 
 
 if __name__ == "__main__":
