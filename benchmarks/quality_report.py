@@ -33,6 +33,13 @@ NUM_SAMPLES = 4
 enable_compilation_cache()
 
 params, cfg = _load_params(CKPT)  # sample at the trained T
+# PRD_QUALITY_OVERRIDES='{"pair_stream_bf16": true}': sampling-side
+# ModelConfig overrides for serving-lever validation on a trained
+# checkpoint (ROADMAP #2 — numerics-only flags; params are unchanged).
+_overrides = json.loads(os.environ.get("PRD_QUALITY_OVERRIDES", "{}"))
+if _overrides:
+    print(f"config overrides: {_overrides}")
+    cfg = cfg.replace(**_overrides)
 model = ProteinReDiffModel(cfg.replace(training_mode=False))
 val_ids = load_split_ids(DATA, "val")
 train_ids = load_split_ids(DATA, "train")[:8]

@@ -100,10 +100,17 @@ def _make_rows_kernel(RB: int, H: int):
     return kernel
 
 
-def _make_rowhead_kernel(RB: int):
+def _make_rowhead_kernel(RB: int, fast: bool = False):
     """(row-block, head) grid: RB rows x ONE head per program, unrolled —
     small enough to keep VMEM bounded while letting Mosaic pipeline block
-    DMAs across grid steps (the fori_loop variant serialized poorly)."""
+    DMAs across grid steps (the fori_loop variant serialized poorly).
+
+    ``fast`` (cfg.fast_softmax, serving): softmax in bf16 — packed VPU
+    exp/sum and HALF the per-row [N, N] VMEM. The MXU logits accumulator
+    stays f32 (bf16 accumulation loses real accuracy; the cast happens
+    AFTER the masked-fill, so NEG_INF = -2^15 is exactly representable).
+    This is strictly tighter numerics than the XLA fast path
+    (`_attention_reference` accumulates the logits gemm in bf16)."""
 
     def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
         for b in range(RB):
@@ -113,6 +120,8 @@ def _make_rowhead_kernel(RB: int):
             v = v_ref[b, 0]
             logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
             logits = jnp.where(mask[None, :] < 0.5, NEG_INF, logits)
+            if fast:
+                logits = logits.astype(jnp.bfloat16)
             probs = jax.nn.softmax(logits, axis=-1)
             out_ref[b, 0] = jnp.dot(
                 probs.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -713,10 +722,14 @@ def _kchunk_rb(R):
     return 1
 
 
-def _rows_attention_impl(qt, kt, vt, mask, interpret):
+def _rows_attention_impl(qt, kt, vt, mask, interpret, fast=False):
     """No-bias masked attention via the row-blocked kernel.
 
-    qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N]."""
+    qt/kt/vt: [R, H, N, C] (q pre-scaled); mask: [R, N].
+    ``fast``: bf16 softmax in the FULL-KEY kernel (serving,
+    cfg.fast_softmax); the K-chunked online-softmax regimes keep their
+    f32 running max/denominator either way (a bf16 carry would compound
+    across N/KC chunk updates rather than one reduction)."""
     R, H, N, C = qt.shape
     kc = _kchunk_select(N, qt.dtype)
     kchunked = kc > 0
@@ -744,7 +757,7 @@ def _rows_attention_impl(qt, kt, vt, mask, interpret):
     if kchunked:
         kernel = _make_rowhead_kchunk_kernel(RB, kc, N // kc)
     else:
-        kernel = _make_rowhead_kernel(RB)
+        kernel = _make_rowhead_kernel(RB, fast)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -894,23 +907,23 @@ def _lead_only(mesh, sharding):
     return NamedSharding(mesh, PartitionSpec(lead))
 
 
-def _rows_partition(interpret, mesh, arg_shapes, result_shape):
+def _rows_partition(interpret, fast, mesh, arg_shapes, result_shape):
     args_sh = tuple(_lead_only(mesh, s.sharding) for s in arg_shapes)
     out_sh = _lead_only(mesh, arg_shapes[0].sharding)
 
     def impl(qt, kt, vt, mask):
-        return _rows_attention_impl(qt, kt, vt, mask, interpret)
+        return _rows_attention_impl(qt, kt, vt, mask, interpret, fast)
 
     return mesh, impl, out_sh, args_sh
 
 
-def _rows_infer(interpret, mesh, arg_shapes, shape):
+def _rows_infer(interpret, fast, mesh, arg_shapes, shape):
     return _lead_only(mesh, arg_shapes[0].sharding)
 
 
-_rows_attention = functools.partial(custom_partitioning, static_argnums=(4,))(
-    _rows_attention_impl
-)
+_rows_attention = functools.partial(
+    custom_partitioning, static_argnums=(4, 5)
+)(_rows_attention_impl)
 _rows_attention.def_partition(
     partition=_rows_partition,
     infer_sharding_from_operands=_rows_infer,
@@ -1248,7 +1261,7 @@ def _attention_reference(q, k, v, mask, bias, scale, fast_softmax=False):
     return out.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_attention(
     q: jnp.ndarray,            # [R, N, H, C]
     k: jnp.ndarray,            # [R, N, H, C]
@@ -1258,24 +1271,34 @@ def fused_attention(
     scale: float = 1.0,
     interpret: bool = False,
     kernel_bwd: bool = False,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """``kernel_bwd``: differentiate the no-bias masked rows case through
     the flash-style Pallas backward kernel instead of the einsum VJP —
     the training-path enablement (cfg.use_pallas_bwd). The bias'd case
     (single attention with pair bias) keeps the einsum VJP either way:
     its dbias output is itself [R, H, N, N], so there is nothing to
-    save by avoiding the materialization."""
-    return _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
+    save by avoiding the materialization.
+
+    ``fast_softmax``: bf16 softmax inside the FULL-KEY rows kernel
+    (serving lever, cfg.fast_softmax — f32 MXU logits accumulation, so
+    tighter than the XLA fast path's bf16-accumulated gemm). Inference
+    only: the stats/backward kernels and the K-chunked online-softmax
+    regimes keep f32 softmax state regardless."""
+    return _fused_attention_fwd_impl(
+        q, k, v, mask, bias, scale, interpret, fast_softmax
+    )
 
 
-def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret):
+def _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret,
+                              fast=False):
     # [R, H, N, C] layout for row/head-major blocking.
     qt = jnp.swapaxes(q * scale, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     if bias is None and mask is not None:
         # Triangle-attention shape (R = B*N rows): row-blocked kernel.
-        out = _rows_attention(qt, kt, vt, mask, interpret)
+        out = _rows_attention(qt, kt, vt, mask, interpret, fast)
     elif mask is not None:
         out = _tiled_attention_mb(qt, kt, vt, mask, bias, interpret)
     elif bias is not None:
@@ -1395,7 +1418,7 @@ _tiled_attention_nb.def_partition(
 )
 
 
-def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):
+def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd, fast_softmax):
     if (
         kernel_bwd
         and bias is None
@@ -1416,11 +1439,12 @@ def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd):
                                                    interpret)
         out = jnp.swapaxes(out_h, 1, 2)  # [R, N, H, C]
         return out, (q, k, v, mask, bias, (out_h, m, logs))
-    out = _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret)
+    out = _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret,
+                                    fast_softmax)
     return out, (q, k, v, mask, bias, None)
 
 
-def _bwd(scale, interpret, kernel_bwd, residuals, g):
+def _bwd(scale, interpret, kernel_bwd, fast_softmax, residuals, g):
     q, k, v, mask, bias, stats = residuals
 
     # The rows backward covers BOTH kernel regimes: full-key below the
@@ -1502,6 +1526,6 @@ def gated_attention_core(
     """
     if use_pallas:
         return fused_attention(
-            q, k, v, mask, bias, scale, interpret, kernel_bwd
+            q, k, v, mask, bias, scale, interpret, kernel_bwd, fast_softmax
         )
     return _attention_reference(q, k, v, mask, bias, scale, fast_softmax)

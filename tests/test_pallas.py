@@ -61,6 +61,92 @@ class TestFusedAttention:
             )
 
 
+class TestFastSoftmaxKernel:
+    """cfg.fast_softmax inside the FULL-KEY rows kernel: bf16 softmax
+    with f32 MXU logits accumulation (serving lever — halves the
+    per-row [N, N] VMEM and packs the VPU exp/sum). Inference-only;
+    K-chunked regimes and all backward kernels keep f32 state."""
+
+    def test_close_to_f32_reference(self):
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True, False, True)
+        assert np.isfinite(np.asarray(out)).all()
+        # bf16 probs: ~3 decimal digits; unit-scale inputs.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
+        )
+
+    def test_fully_masked_row_stays_uniform_and_finite(self):
+        q, k, v, mask, _ = rand_qkv(R=2, N=32, H=1, C=8)
+        mask = mask.at[0].set(0.0)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True, False, True)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
+        )
+
+    def test_off_path_is_bit_identical(self):
+        """fast_softmax=False must not change the existing kernel."""
+        q, k, v, mask, _ = rand_qkv(R=4, N=16, H=2, C=8)
+        a = fused_attention(q, k, v, mask, None, 0.35, True, False, False)
+        b = fused_attention(q, k, v, mask, None, 0.35, True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_kchunk_regime_ignores_fast_flag(self, monkeypatch):
+        """The online-softmax kernels keep their f32 running max/sum —
+        with fast on they must still match the f32 reference tightly."""
+        import protein_redesign_tpu.ops.pallas_attention as pa
+
+        monkeypatch.setattr(pa, "ROWS_KCHUNK_MIN_N", 16)
+        monkeypatch.setattr(pa, "_KCHUNK_TARGET", 8)
+        q, k, v, mask, _ = rand_qkv(R=4, N=32, H=2, C=8)
+        ref = _attention_reference(q, k, v, mask, None, scale=0.35)
+        out = fused_attention(q, k, v, mask, None, 0.35, True, False, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_attention_core_plumbs_flag(self):
+        """attention_core(use_pallas=True, fast_softmax=True) reaches the
+        kernel (bf16-close to the f32 XLA path, not bit-equal)."""
+        from protein_redesign_tpu.models.layers import attention_core
+
+        q, k, v, mask, _ = rand_qkv(R=2, N=24, H=2, C=8)
+        xla_f32 = attention_core(q, k, v, mask, None, 0.35,
+                                 use_pallas=False)
+        fast = attention_core(q, k, v, mask, None, 0.35,
+                              use_pallas=True, fast_softmax=True)
+        assert np.isfinite(np.asarray(fast)).all()
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(xla_f32), atol=2e-2, rtol=2e-2
+        )
+
+    def test_grad_through_fast_forward_uses_f32_vjp(self):
+        """Differentiating the fast forward falls to the einsum VJP
+        (f32): grads match the reference VJP exactly — the fast flag
+        must not leak into the backward."""
+        q, k, v, mask, _ = rand_qkv(R=2, N=16, H=1, C=8)
+
+        def f(a, b, c):
+            return jnp.sum(
+                fused_attention(a, b, c, mask, None, 0.35, True, False,
+                                True)
+            )
+
+        def f_ref(a, b, c):
+            return jnp.sum(_attention_reference(a, b, c, mask, None, 0.35))
+
+        with pytest.warns(UserWarning, match="einsum-VJP"):
+            g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
+
+
 class TestModelWithPallas:
     def test_forward_matches_einsum_path(self):
         from __graft_entry__ import _make_batch
@@ -622,11 +708,22 @@ class TestAutoPallasPolicy:
         train_nok = train_cfg.replace(use_pallas_bwd=False)
         assert resolve_attention_plan(train_nok, 512) == (False, 0)
         assert resolve_attention_plan(train_nok, 768) == (False, 128)
-        # Wide heads / sequence-parallel keep their non-kernel plans in
-        # training too.
+        # Wide heads (C >= 64) JOIN the kernel plan in round 4 at the
+        # measured sizes (r4_probes stepkern: train 1.08x at 384, 1.23x
+        # at 512); 768+ keeps the measured XLA/chunked plans.
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64), 384
+        ) == (True, 0)
         assert resolve_attention_plan(
             train_cfg.replace(head_dim=64), 512
+        ) == (True, 0)
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64), 768
+        ) == (False, 128)
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64, use_pallas_bwd=False), 512
         ) == (False, 0)
+        # Sequence-parallel keeps its non-kernel plan in training.
         assert resolve_attention_plan(
             train_cfg.replace(sequence_parallel=True), 512
         ) == (False, 0)
@@ -637,14 +734,26 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             cfg.replace(sequence_parallel=True), 512
         ) == (False, 0)
-        # Wide heads (head_dim >= 32, e.g. the recommended h64x1 layout):
-        # XLA's own lowering wins (16.3 vs 22.9 ms at N=384) — no kernel.
-        # With ONE head the unchunked logits stay small enough that plain
-        # XLA also beats chunked at 1024 (263 vs 293 ms measured), so no
-        # chunk fallback either until the ~4 GB logits heuristic trips.
+        # Wide-head INFERENCE: ties XLA at 384 (13.27 vs 13.12 ms whole
+        # fwd — stays XLA) and wins from 512 (28.15 vs 31.91 ms, r4
+        # stepkern probe). Intermediate head dims (32..63) are unmeasured
+        # and keep XLA. With ONE head the unchunked logits stay small
+        # enough that plain XLA also beats chunked at 1024 (263 vs
+        # 293 ms), so no chunk fallback until the ~4 GB logits heuristic.
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=64), 384
+        ) == (False, 0)
         assert resolve_attention_plan(
             cfg.replace(head_dim=64), 512
+        ) == (True, 0)
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=32), 512
         ) == (False, 0)
+        # Under the bf16 pair stream, wide-head inference joins at 384
+        # (12.35 -> 11.77 ms whole-fwd, r4 bf16pair probe).
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=64, pair_stream_bf16=True), 384
+        ) == (True, 0)
         h64 = cfg.replace(head_dim=64, num_heads=1, dtype="bfloat16")
         assert resolve_attention_plan(h64, 1024) == (False, 0)
         assert resolve_attention_plan(h64, 2048) == (False, 128)
