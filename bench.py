@@ -186,6 +186,11 @@ def main():
     _, _, u = bench_forward(model_h64x1, params_h64x1, 384, 320,
                             label="h64x1")
     mfu_rows["h64x1_N384"] = round(u, 4)
+    # N=512: the round-4 wide-head plan flip engages the rows kernel
+    # here (1.13x whole-fwd over XLA, r4_probes stepkern).
+    _, _, u = bench_forward(model_h64x1, params_h64x1, 512, 420,
+                            label="h64x1")
+    mfu_rows["h64x1_N512"] = round(u, 4)
     del params_h64x1
 
     # --- headline: full 1000-step sample wall-clock (one jitted scan),

@@ -255,15 +255,27 @@ def cmd_stepkern(args):
 
 def cmd_bf16pair(args):
     """bf16 pair residual stream (the candidate h64x1 bandwidth lever):
-    fwd + train step vs the f32-stream default."""
+    fwd + train step vs the f32-stream default. The 'combo' legs stack
+    every independently-measured h64x1 lever — bf16 stream + forced
+    rows kernel (the C>=64 plan-flip candidate) + fast_softmax (bf16
+    kernel softmax, serving) — the whole-step MFU>=20% attempt
+    (VERDICT r3 #3)."""
     for bucket, n_res in ((384, 304), (512, 420)):
         for bf16s, tag in ((False, "f32-stream"), (True, "bf16-stream")):
             cfg = H64.replace(pair_stream_bf16=bf16s)
             fwd_bench(cfg, bucket, n_res, 20, f"h64x1 {tag}")
+        combo = H64.replace(pair_stream_bf16=True, use_pallas=True)
+        fwd_bench(combo, bucket, n_res, 20, "h64x1 combo(bf16s+kern)")
+        fwd_bench(combo.replace(fast_softmax=True), bucket, n_res, 20,
+                  "h64x1 combo+fastsm")
         for bf16s, tag in ((False, "f32-stream"), (True, "bf16-stream")):
             cfg = H64.replace(training_mode=True, remat=False,
                               pair_stream_bf16=bf16s)
             train_step_bench(cfg, bucket, n_res, 6, f"h64x1 {tag}")
+        combo_t = H64.replace(training_mode=True, remat=False,
+                              pair_stream_bf16=True, use_pallas=True)
+        train_step_bench(combo_t, bucket, n_res, 6,
+                         "h64x1 combo(bf16s+kern)")
 
 
 def main():

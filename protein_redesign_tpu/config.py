@@ -65,10 +65,12 @@ class ModelConfig:
     #                                uses the fused Pallas attention (1.15x
     #                                at N=384 .. 2.05x at N=768 over XLA —
     #                                never materializes the [rows,H,N,N]
-    #                                logits; at head_dim 64 XLA's own
-    #                                lowering wins and keeps the default),
-    #                                while training / sequence-parallel /
-    #                                wide-head / N>=2048 fall back to
+    #                                logits); WIDE-HEAD (head_dim >= 64,
+    #                                h64x1) joins at the round-4 measured
+    #                                sizes — training 384/512 (1.08x/
+    #                                1.23x), inference 512 (1.13x) —
+    #                                while sequence-parallel / unmeasured
+    #                                sizes / N>=2048 fall back to
     #                                query-chunked attention at N>=768
     #                                (the unchunked lowering fails to
     #                                compile at 1024). Explicit

@@ -501,10 +501,14 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
       at N=512, 2.05x at N=768, 1.83x at N=1024 (it never materializes
       the [rows,H,N,N] logits; the rows kernel runs with a 100 MB
       scoped-VMEM grant — the earlier 0.95x verdict was the default
-      16 MB budget starving it). The win is format-bound-XLA-specific:
-      at head_dim 64 (the recommended new-training layout) XLA's own
-      lowering is efficient and the kernel LOSES (16.3 vs 22.9 ms at
-      N=384) — wide-head configs keep XLA/chunked. TRAINING at
+      16 MB budget starving it).
+    - WIDE-HEAD (head_dim >= 64, the recommended h64x1 layout): round 4
+      reversed the round-3 exclusion (a dispatch-floor measurement
+      artifact): the kernel joins for TRAINING at 384 <= n < 768
+      (1.08x/1.23x whole-step at 384/512) and INFERENCE at
+      512 <= n < 768 (1.13x at 512; a tie at 384 keeps XLA there).
+      768+ and head_dim 32..63 are unmeasured and keep the XLA/chunked
+      plans (r4_probes.py stepkern, BASELINE.md round-4). TRAINING at
       narrow-head 384 <= n < 768 also uses the kernel by default, via
       the flash-style Pallas backward (cfg.use_pallas_bwd; 1.21x at
       N=384, 1.48x at N=512 over the XLA train step — NOTE an exotic
@@ -553,6 +557,27 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
         (inference or trainable)
         and cfg.head_dim < 32
         and cfg.pallas_auto_min_n <= n < ceiling
+    ):
+        return True, 0
+    # WIDE-HEAD (C >= 64, the recommended h64x1 training layout): the
+    # round-3 "kernel loses at head_dim 64" exclusion was an artifact of
+    # the uncorrected dispatch floor (BASELINE.md round-4 roofline).
+    # Whole-program stepkern probe (r4_probes.py, v5e): TRAIN kernel
+    # 1.08x at N=384 (60.2 vs 65.2 ms) and 1.23x at N=512 (115.2 vs
+    # 142.2 ms); INFERENCE fwd 1.13x at N=512 (28.15 vs 31.91 ms) but a
+    # tie at 384 (13.27 vs 13.12) — so inference joins at 512. Gated to
+    # the MEASURED sizes only (< LONGCTX_CHUNK_MIN_N): the 768+ rungs
+    # keep their measured XLA/chunked plans until the C=64 kernel is
+    # benchmarked there.
+    # Inference joins a rung earlier (384) under the bf16 pair stream:
+    # with the stream's HBM relief the kernel wins there too (12.35 ->
+    # 11.77 ms whole-fwd, r4 bf16pair probe) where it tied at f32.
+    wide_infer_min = 384 if cfg.pair_stream_bf16 else 512
+    if (
+        (inference or trainable)
+        and cfg.head_dim >= 64
+        and n < LONGCTX_CHUNK_MIN_N
+        and n >= max(cfg.pallas_auto_min_n, wide_infer_min if inference else 384)
     ):
         return True, 0
     if n >= LONGCTX_CHUNK_MIN_N:
