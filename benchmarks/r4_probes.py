@@ -91,10 +91,14 @@ def cmd_roofline(args):
     print(f"[harness]: dispatch+fetch overhead {ovh*1e3:.1f} ms "
           f"(subtracted; iters=400)", flush=True)
     ITERS = 400
+    # --bf16io: pair stream in/out in bf16 (the pair_stream_bf16
+    # regime) — re-attributes each op's bandwidth SOL under the halved
+    # stream traffic measured as a whole-program win (bf16pair probe).
+    sdt, sbytes = (jnp.bfloat16, 2) if args.bf16io else (jnp.float32, 4)
     for N in ns:
         N2, N3 = float(N) ** 2, float(N) ** 3
-        pair = jnp.asarray(rng.randn(1, N, N, D), jnp.float32)
-        single = jnp.asarray(rng.randn(1, N, S), jnp.float32)
+        pair = jnp.asarray(rng.randn(1, N, N, D), sdt)
+        single = jnp.asarray(rng.randn(1, N, S), sdt)
         mask = jnp.ones((1, N), jnp.float32)
         mask2d = mask[:, :, None] * mask[:, None, :]
 
@@ -113,7 +117,7 @@ def cmd_roofline(args):
                  [(8 * N2 * D * D, D, 4 * D),   # a/b + gates in-proj
                   (4 * N2 * D * D, D, D),       # out proj + out gate
                   (2 * D * N3, N, N)],          # the N-contraction einsum
-                 traffic_bytes=9 * N2 * D * 2 + 2 * N2 * D * 4)
+                 traffic_bytes=9 * N2 * D * 2 + 2 * N2 * D * sbytes)
 
         # --- triangle attention (x2 per block), C=64 ---
         ta_fl = 10 * N2 * D * HC + 4 * HC * N3 + 2 * N2 * D * H
@@ -129,7 +133,8 @@ def cmd_roofline(args):
                       (2 * HC * N3, N, C),       # AV (K=N)
                       (2 * N2 * HC * D, HC, D),  # out proj
                       (2 * N2 * D * H, D, H)],   # pair-bias proj
-                     traffic_bytes=(2 + 8 + 2) * N2 * D * 2 + N2 * 4 + 2 * N2 * D * 4)
+                     traffic_bytes=(2 + 8 + 2) * N2 * D * 2 + N2 * 4
+                     + 2 * N2 * D * sbytes)
 
         # --- OuterLinear (x1 per block): factored vs concat ---
         ol_fl = 2 * N2 * (2 * S) * D
@@ -172,7 +177,7 @@ def cmd_roofline(args):
         sol_line(f"pair-transition N={N}", per,
                  [(2 * N2 * D * D * tf, D, D * tf),
                   (2 * N2 * D * tf * D, D * tf, D)],
-                 traffic_bytes=(2 + 2 * tf) * N2 * D * 2 + 2 * N2 * D * 4)
+                 traffic_bytes=(2 + 2 * tf) * N2 * D * 2 + 2 * N2 * D * sbytes)
 
         # --- single-track transition (x1 per block; small) ---
         sf_fl = 4 * N * S * S * tf
@@ -283,6 +288,9 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     r = sub.add_parser("roofline")
     r.add_argument("--wide", action="store_true")
+    r.add_argument("--bf16io", action="store_true",
+                   help="pair stream in/out in bf16 (pair_stream_bf16 "
+                        "regime) — re-attributes the bandwidth SOLs")
     sub.add_parser("step")
     sub.add_parser("bf16pair")
     sub.add_parser("stepkern")
