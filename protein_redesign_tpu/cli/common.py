@@ -314,6 +314,13 @@ def add_sampler_args(parser) -> None:
                              "unset = keep the checkpoint config's value; "
                              "--no-outer_factored forces the unfactored "
                              "path (bit-exact repro of pre-flip sampling)")
+    parser.add_argument("--pair_stream_bf16", action=BooleanOptionalAction,
+                        default=None,
+                        help="bf16 pair residual stream at sampling time "
+                             "(numerics-only; params unchanged). Measured "
+                             "fwd 1.06-1.14x at h64x1 N=384/512 "
+                             "(BASELINE.md round-4); unset = keep the "
+                             "checkpoint config's value")
 
 
 def sampler_cfg_overrides(args) -> Dict:
@@ -341,6 +348,8 @@ def sampler_cfg_overrides(args) -> Dict:
         overrides["outer_factored"] = bool(args.outer_factored)
     if getattr(args, "sample_guard", None) is not None:
         overrides["sample_guard"] = bool(args.sample_guard)
+    if getattr(args, "pair_stream_bf16", None) is not None:
+        overrides["pair_stream_bf16"] = bool(args.pair_stream_bf16)
     return overrides
 
 

@@ -164,6 +164,32 @@ class TestCommonHelpers:
         assert s1 == s2  # same seed -> same masked positions
         assert s1[0].count("X") == 6  # 20 residues * 0.3
 
+    def test_tri_state_config_overrides(self):
+        """BooleanOptionalAction flags override the checkpoint config
+        only when explicitly passed (either polarity)."""
+        import argparse
+
+        from protein_redesign_tpu.cli.common import (
+            add_sampler_args,
+            sampler_cfg_overrides,
+        )
+
+        def parse(argv):
+            p = argparse.ArgumentParser()
+            add_sampler_args(p)
+            return sampler_cfg_overrides(p.parse_args(argv))
+
+        unset = parse([])
+        for key in ("outer_factored", "pair_stream_bf16", "sample_guard"):
+            assert key not in unset  # checkpoint config survives
+
+        on = parse(["--pair_stream_bf16", "--outer_factored"])
+        assert on["pair_stream_bf16"] is True
+        assert on["outer_factored"] is True
+        off = parse(["--no-pair_stream_bf16", "--no-outer_factored"])
+        assert off["pair_stream_bf16"] is False
+        assert off["outer_factored"] is False
+
     def test_update_seq_ignores_ligand_slots(self):
         """A non-X decode in a LIGAND slot must not frame-shift the
         residue window (in-contract those slots are masked to X; this
