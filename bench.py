@@ -191,6 +191,15 @@ def main():
     _, _, u = bench_forward(model_h64x1, params_h64x1, 512, 420,
                             label="h64x1")
     mfu_rows["h64x1_N512"] = round(u, 4)
+    # Best-known serving stack (round 4): bf16 pair residual stream
+    # (numerics lever, opt-in pending quality validation) — under it the
+    # kernel also engages at N=384 (BASELINE.md round-4 lever table).
+    model_bf16s = ProteinReDiffModel(
+        cfg_h64x1.replace(pair_stream_bf16=True)
+    )
+    _, _, u = bench_forward(model_bf16s, params_h64x1, 384, 320,
+                            label="h64x1 bf16-stream")
+    mfu_rows["h64x1_N384_bf16stream"] = round(u, 4)
     del params_h64x1
 
     # --- headline: full 1000-step sample wall-clock (one jitted scan),
