@@ -1439,8 +1439,11 @@ def _fwd(q, k, v, mask, bias, scale, interpret, kernel_bwd, fast_softmax):
                                                    interpret)
         out = jnp.swapaxes(out_h, 1, 2)  # [R, N, H, C]
         return out, (q, k, v, mask, bias, (out_h, m, logs))
+    # Differentiated full-key path: drop the bf16 fast softmax so the
+    # forward matches the flash backward's f32 probs recompute (the
+    # fast flag is a serving lever; training numerics stay f32).
     out = _fused_attention_fwd_impl(q, k, v, mask, bias, scale, interpret,
-                                    fast_softmax)
+                                    fast_softmax and not kernel_bwd)
     return out, (q, k, v, mask, bias, None)
 
 

@@ -123,6 +123,31 @@ class TestFastSoftmaxKernel:
             np.asarray(fast), np.asarray(xla_f32), atol=2e-2, rtol=2e-2
         )
 
+    def test_training_kernel_bwd_drops_fast_flag(self):
+        """Under kernel_bwd (the training path) the vjp forward must run
+        f32 softmax even with fast_softmax on — consistent with the
+        flash backward's f32 probs recompute. Output and grads match
+        the f32 kernel path bit-for-bit."""
+        q, k, v, mask, _ = rand_qkv(R=2, N=16, H=1, C=8)
+
+        def loss(fast):
+            def f(a, b, c):
+                return jnp.sum(jnp.cos(fused_attention(
+                    a, b, c, mask, None, 0.35, True, True, fast
+                )))
+            return f
+
+        out_fast, g_fast = jax.value_and_grad(loss(True), argnums=(0, 1, 2))(
+            q, k, v
+        )
+        out_f32, g_f32 = jax.value_and_grad(loss(False), argnums=(0, 1, 2))(
+            q, k, v
+        )
+        np.testing.assert_array_equal(np.asarray(out_fast),
+                                      np.asarray(out_f32))
+        for a, b in zip(g_fast, g_f32):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_grad_through_fast_forward_uses_f32_vjp(self):
         """Differentiating the fast forward falls to the einsum VJP
         (f32): grads match the reference VJP exactly — the fast flag
