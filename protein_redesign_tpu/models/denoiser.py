@@ -572,10 +572,15 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     # Inference joins a rung earlier (384) under the bf16 pair stream:
     # with the stream's HBM relief the kernel wins there too (12.35 ->
     # 11.77 ms whole-fwd, r4 bf16pair probe) where it tied at f32.
+    # Every number backing this branch is single-head (h64x1); a
+    # multi-head wide config (e.g. head_dim=64, num_heads=4) doubles+
+    # the per-row VMEM working set at unmeasured shapes, so it keeps
+    # the XLA plan until a stepkern cell measures it (advisor r4).
     wide_infer_min = 384 if cfg.pair_stream_bf16 else 512
     if (
         (inference or trainable)
         and cfg.head_dim >= 64
+        and cfg.num_heads == 1
         and n < LONGCTX_CHUNK_MIN_N
         and n >= max(cfg.pallas_auto_min_n, wide_infer_min if inference else 384)
     ):

@@ -1284,9 +1284,13 @@ def fused_attention(
     (serving lever, cfg.fast_softmax — f32 MXU logits accumulation, so
     tighter than the XLA fast path's bf16-accumulated gemm). Inference
     only: the stats/backward kernels and the K-chunked online-softmax
-    regimes keep f32 softmax state regardless."""
+    regimes keep f32 softmax state regardless. When ``kernel_bwd`` is
+    set the fast flag is dropped HERE TOO (mirroring ``_fwd``), so a
+    no-grad forward under a training config produces the same numerics
+    as the forward actually being differentiated (advisor r4)."""
     return _fused_attention_fwd_impl(
-        q, k, v, mask, bias, scale, interpret, fast_softmax
+        q, k, v, mask, bias, scale, interpret,
+        fast_softmax and not kernel_bwd,
     )
 
 
@@ -1467,7 +1471,15 @@ def _bwd(scale, interpret, kernel_bwd, fast_softmax, residuals, g):
             "with the einsum-VJP backward (re-materializes the attention "
             "logits in HBM). For training, set use_pallas_bwd=True "
             "(cfg.training_mode selects it by default) or use the XLA "
-            "attention path.",
+            "attention path."
+            + (
+                " Note: fast_softmax is on, so these gradients are "
+                "gradients of the f32 reference forward, NOT of the bf16 "
+                "fast forward actually evaluated (serving lever; advisor "
+                "r4)."
+                if fast_softmax
+                else ""
+            ),
             stacklevel=2,
         )
     if kernel_bwd and flashable:

@@ -735,18 +735,25 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(train_nok, 768) == (False, 128)
         # Wide heads (C >= 64) JOIN the kernel plan in round 4 at the
         # measured sizes (r4_probes stepkern: train 1.08x at 384, 1.23x
-        # at 512); 768+ keeps the measured XLA/chunked plans.
+        # at 512); 768+ keeps the measured XLA/chunked plans. All the
+        # backing numbers are SINGLE-head (h64x1), so multi-head wide
+        # configs keep XLA until measured (advisor r4).
         assert resolve_attention_plan(
-            train_cfg.replace(head_dim=64), 384
+            train_cfg.replace(head_dim=64, num_heads=1), 384
         ) == (True, 0)
         assert resolve_attention_plan(
-            train_cfg.replace(head_dim=64), 512
+            train_cfg.replace(head_dim=64, num_heads=1), 512
         ) == (True, 0)
         assert resolve_attention_plan(
-            train_cfg.replace(head_dim=64), 768
+            train_cfg.replace(head_dim=64, num_heads=1), 768
         ) == (False, 128)
         assert resolve_attention_plan(
-            train_cfg.replace(head_dim=64, use_pallas_bwd=False), 512
+            train_cfg.replace(head_dim=64, num_heads=1,
+                              use_pallas_bwd=False), 512
+        ) == (False, 0)
+        # h64x4 (unmeasured): no auto-kernel.
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64, num_heads=4), 512
         ) == (False, 0)
         # Sequence-parallel keeps its non-kernel plan in training.
         assert resolve_attention_plan(
@@ -766,18 +773,23 @@ class TestAutoPallasPolicy:
         # enough that plain XLA also beats chunked at 1024 (263 vs
         # 293 ms), so no chunk fallback until the ~4 GB logits heuristic.
         assert resolve_attention_plan(
-            cfg.replace(head_dim=64), 384
+            cfg.replace(head_dim=64, num_heads=1), 384
         ) == (False, 0)
         assert resolve_attention_plan(
-            cfg.replace(head_dim=64), 512
+            cfg.replace(head_dim=64, num_heads=1), 512
         ) == (True, 0)
         assert resolve_attention_plan(
             cfg.replace(head_dim=32), 512
         ) == (False, 0)
+        # Multi-head wide inference: unmeasured, stays XLA (advisor r4).
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=64, num_heads=4), 512
+        ) == (False, 0)
         # Under the bf16 pair stream, wide-head inference joins at 384
         # (12.35 -> 11.77 ms whole-fwd, r4 bf16pair probe).
         assert resolve_attention_plan(
-            cfg.replace(head_dim=64, pair_stream_bf16=True), 384
+            cfg.replace(head_dim=64, num_heads=1, pair_stream_bf16=True),
+            384
         ) == (True, 0)
         h64 = cfg.replace(head_dim=64, num_heads=1, dtype="bfloat16")
         assert resolve_attention_plan(h64, 1024) == (False, 0)
