@@ -200,35 +200,78 @@ def main():
     _, _, u = bench_forward(model_bf16s, params_h64x1, 384, 320,
                             label="h64x1 bf16-stream")
     mfu_rows["h64x1_N384_bf16stream"] = round(u, 4)
-    del params_h64x1
+    _, _, u = bench_forward(model_bf16s, params_h64x1, 512, 420,
+                            label="h64x1 bf16-stream")
+    mfu_rows["h64x1_N512_bf16stream"] = round(u, 4)
 
-    # --- headline: full 1000-step sample wall-clock (one jitted scan),
-    # parity-mode numerics (f32 softmax)
+    # --- PARITY row: full 1000-step sample wall-clock (one jitted scan)
+    # at the reference-checkpoint layout (h16x4) and parity-mode
+    # numerics (f32 softmax, f32 pair stream). Retained as the
+    # format-bound baseline; the HEADLINE below tracks the best-known
+    # serving stack (VERDICT r4 #6).
     sample = jax.jit(lambda p, b, k: model.sample(p, b, k, mask_prob=0.3))
     dt, out = timed_fetch(sample, params, batch, key)
     log(f"sample (compile+run): {dt:.1f} s")
     assert np.isfinite(np.asarray(out[0])).all()
     dt1, _ = timed_fetch(sample, params, batch, jax.random.PRNGKey(1))
     dt2, _ = timed_fetch(sample, params, batch, jax.random.PRNGKey(2))
-    wall = min(dt1, dt2)
-    log(f"sample {NUM_STEPS} steps steady-state: {wall:.2f} s "
-        f"({wall / NUM_STEPS * 1e3:.2f} ms/step)")
+    parity_wall = min(dt1, dt2)
+    log(f"sample {NUM_STEPS} steps steady-state [h16x4 parity]: "
+        f"{parity_wall:.2f} s ({parity_wall / NUM_STEPS * 1e3:.2f} ms/step)")
 
-    # --- secondary: serving config (bf16 attention probabilities)
+    # --- secondary: h16x4 + fast_softmax (bf16 attention probabilities;
+    # the round-3 1.61x serving lever on the XLA path)
     fast_model = ProteinReDiffModel(cfg.replace(fast_softmax=True))
     fast_sample = jax.jit(
         lambda p, b, k: fast_model.sample(p, b, k, mask_prob=0.3)
     )
     timed_fetch(fast_sample, params, batch, key)  # compile
     fdt, _ = timed_fetch(fast_sample, params, batch, jax.random.PRNGKey(3))
-    log(f"sample {NUM_STEPS} steps (--fast_softmax serving config): "
-        f"{fdt:.2f} s ({wall / fdt:.2f}x)")
+    log(f"sample {NUM_STEPS} steps (h16x4 --fast_softmax): "
+        f"{fdt:.2f} s ({parity_wall / fdt:.2f}x)")
+    del params
+
+    # --- HEADLINE: best-known serving stack (VERDICT r4 #6) — h64x1
+    # layout (the recommended new-training layout) + bf16 pair stream +
+    # fast_softmax + auto kernel plan, same bucket-192 workload.
+    # DDPM-1000 is the tracked value; DDIM-50 is the low-latency row.
+    cfg_serve = cfg_h64x1.replace(
+        pair_stream_bf16=True, fast_softmax=True, training_mode=False,
+    )
+    model_serve = ProteinReDiffModel(cfg_serve)
+    serve_sample = jax.jit(
+        lambda p, b, k: model_serve.sample(p, b, k, mask_prob=0.3)
+    )
+    timed_fetch(serve_sample, params_h64x1, batch, key)  # compile
+    sdt1, _ = timed_fetch(serve_sample, params_h64x1, batch,
+                          jax.random.PRNGKey(4))
+    sdt2, _ = timed_fetch(serve_sample, params_h64x1, batch,
+                          jax.random.PRNGKey(5))
+    best_wall = min(sdt1, sdt2)
+    log(f"sample {NUM_STEPS} steps [BEST h64x1 bf16-stream fast]: "
+        f"{best_wall:.2f} s ({best_wall / NUM_STEPS * 1e3:.2f} ms/step; "
+        f"{parity_wall / best_wall:.2f}x vs parity row)")
+
+    ddim_sample = jax.jit(
+        lambda p, b, k: model_serve.sample_ddim(p, b, k, ddim_steps=50)
+    )
+    timed_fetch(ddim_sample, params_h64x1, batch, key)  # compile
+    ddt, _ = timed_fetch(ddim_sample, params_h64x1, batch,
+                         jax.random.PRNGKey(6))
+    log(f"sample DDIM-50 [BEST serving stack]: {ddt:.3f} s "
+        f"({ddt / 50 * 1e3:.2f} ms/step)")
 
     print(json.dumps({
-        "metric": "sample_1000step_wallclock_192nodes",
-        "value": round(wall, 3),
+        "metric": "sample_1000step_wallclock_192nodes_best",
+        "value": round(best_wall, 3),
         "unit": "s",
-        "vs_baseline": round(NORTH_STAR_S / wall, 3),
+        "vs_baseline": round(NORTH_STAR_S / best_wall, 3),
+        "parity_h16x4_s": round(parity_wall, 3),
+        "serving": {
+            "h64x1_bf16stream_fast_ddpm1000_s": round(best_wall, 3),
+            "h64x1_bf16stream_fast_ddim50_s": round(ddt, 3),
+            "h16x4_fast_softmax_ddpm1000_s": round(fdt, 3),
+        },
         "mfu": mfu_rows,
     }))
 

@@ -120,11 +120,18 @@ class ModelConfig:
     #                                  bound for the trimul/transition ops
     #                                  in the h64x1 roofline (VERDICT r3
     #                                  item 3 lever; benchmarks/r4_probes
-    #                                  bf16pair). Numerics: block-internal
+    #                                  bf16pair). Round 5: also demotes
+    #                                  the trimul's materialized [N,N,D]
+    #                                  triangle product (fast_accum — the
+    #                                  N=512 roofline's binding 67 MB/op
+    #                                  f32 buffer; MXU still accumulates
+    #                                  f32). Numerics: block-internal
     #                                  math already runs at cfg.dtype;
-    #                                  this only demotes the residual
-    #                                  ACCUMULATOR, so it is opt-in and
-    #                                  excluded from parity tests.
+    #                                  this demotes only the residual
+    #                                  ACCUMULATOR + product buffer, so
+    #                                  it is opt-in, gated by the bf16pair
+    #                                  quality report, and excluded from
+    #                                  parity tests.
     use_pallas_bwd: bool = True      # differentiate the rows-attention
     #                                  kernel through a flash-style Pallas
     #                                  BACKWARD (ops/pallas_attention.

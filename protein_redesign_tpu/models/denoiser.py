@@ -383,6 +383,7 @@ class FoldingBlock(nn.Module):
     use_pallas_fused_gated: bool = False
     attn_chunk: int = 0
     kernel_bwd: bool = False
+    pair_stream_bf16: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -416,12 +417,19 @@ class FoldingBlock(nn.Module):
             factored=self.outer_factored,
             name="outer_linear", **kw,
         )(single)
+        # The bf16 pair stream extends through the trimul's materialized
+        # [N,N,D] triangle product (fast_accum): at N=512/D=64 that f32
+        # buffer is 67 MB written+read per trimul — the binding HBM term
+        # of the corrected roofline's 2.24x-over-bw-SOL row (BASELINE.md
+        # round-4; VERDICT r4 #3). MXU accumulation stays f32 either
+        # way; the bf16pair quality gate covers the rounding.
+        trimul_fast = self.fast_softmax or self.pair_stream_bf16
         pair = pair + TriangleMultiplication(
-            "outgoing", self.use_pallas_trimul, fast_accum=self.fast_softmax,
+            "outgoing", self.use_pallas_trimul, fast_accum=trimul_fast,
             dmajor=self.trimul_dmajor, name="pair_mul_outgoing", **kw
         )(pair, mask_2d)
         pair = pair + TriangleMultiplication(
-            "incoming", self.use_pallas_trimul, fast_accum=self.fast_softmax,
+            "incoming", self.use_pallas_trimul, fast_accum=trimul_fast,
             dmajor=self.trimul_dmajor, name="pair_mul_incoming", **kw
         )(pair, mask_2d)
         pair = pair + TriangleAttention(
@@ -664,6 +672,7 @@ class Denoiser(nn.Module):
                 ),
                 attn_chunk=attn_chunk,
                 kernel_bwd=cfg.use_pallas_bwd and fused_ok,
+                pair_stream_bf16=cfg.pair_stream_bf16,
                 name=f"folding_blocks_{i}",
                 **kw,
             )(single, pair, mask)
