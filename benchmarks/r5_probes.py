@@ -82,14 +82,31 @@ def cmd_widelong(args):
                 f"h64x1 {stream} kernel remat")
 
 
+def cmd_widemh(args):
+    """Multi-head wide cell (advisor r4): h64x4 kernel vs XLA at the
+    gate sizes. The auto plan keeps h64x4 on XLA until this measures a
+    win (resolve_attention_plan num_heads==1 guard)."""
+    H64X4 = BASE.replace(head_dim=64, num_heads=4, esm_dim=320)
+    for bucket, n_res in ((384, 304), (512, 420)):
+        for kern, tag in ((False, "xla"), (True, "kernel")):
+            cfg = H64X4.replace(use_pallas=kern)
+            fwd_bench(cfg, bucket, n_res, 10, f"h64x4 {tag}")
+        for kern, tag in ((False, "xla"), (True, "kernel")):
+            cfg = H64X4.replace(training_mode=True, remat=False,
+                                use_pallas=kern)
+            train_step_bench(cfg, bucket, n_res, 4, f"h64x4 {tag}")
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("trimulx")
     sub.add_parser("widelong")
+    sub.add_parser("widemh")
     args = p.parse_args()
     enable_compilation_cache()
-    {"trimulx": cmd_trimulx, "widelong": cmd_widelong}[args.cmd](args)
+    {"trimulx": cmd_trimulx, "widelong": cmd_widelong,
+     "widemh": cmd_widemh}[args.cmd](args)
 
 
 if __name__ == "__main__":
