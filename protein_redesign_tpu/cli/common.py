@@ -353,6 +353,28 @@ def sampler_cfg_overrides(args) -> Dict:
     return overrides
 
 
+def apply_serving_defaults(cfg, args):
+    """Measured serving defaults, applied AFTER the checkpoint config
+    and any explicit flags (call on the final inference ModelConfig).
+
+    pair_stream_bf16 defaults ON for wide-head (head_dim >= 64)
+    inference: fwd 1.06-1.14x at h64x1 (BASELINE.md round-4 lever
+    table) and the round-5 quality gate measured it quality-neutral on
+    a trained checkpoint (val TM delta -0.0001 mean / |0.011| max
+    per-complex, masked recovery +0.002, controls identical —
+    `benchmarks/quality_report_r4_abs_h16_bf16pair.json` vs the f32
+    eval). An explicit --no-pair_stream_bf16 (tri-state unset = None)
+    always wins; narrow-head checkpoints keep their stored value (the
+    lever is unmeasured for perf there)."""
+    if (
+        getattr(args, "pair_stream_bf16", None) is None
+        and cfg.head_dim >= 64
+        and not cfg.pair_stream_bf16
+    ):
+        cfg = cfg.replace(pair_stream_bf16=True)
+    return cfg
+
+
 def runner_sampler_kwargs(args) -> Dict:
     """SamplingRunner kwargs from add_sampler_args flags."""
     return dict(

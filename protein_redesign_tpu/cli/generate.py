@@ -67,6 +67,7 @@ def main(argv=None):
     from ..utils.tmalign import run_tmalign
     from .common import (
         SamplingRunner,
+        apply_serving_defaults,
         load_protein_arg,
         make_inference_mesh,
         parse_ligand_arg,
@@ -79,10 +80,10 @@ def main(argv=None):
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
-    model = ProteinReDiffModel(cfg.replace(
+    model = ProteinReDiffModel(apply_serving_defaults(cfg.replace(
         training_mode=False, fast_softmax=args.fast_softmax,
         **sampler_cfg_overrides(args),
-    ))
+    ), args))
 
     protein = load_protein_arg(args.protein)
     ligand = parse_ligand_arg(args.ligand)

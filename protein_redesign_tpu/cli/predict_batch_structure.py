@@ -59,6 +59,7 @@ def main(argv=None):
     from ..utils.tmalign import run_tmalign
     from .common import (
         SamplingRunner,
+        apply_serving_defaults,
         make_inference_mesh,
         parse_ligands,
         proteins_from_fasta_with_mask,
@@ -75,9 +76,10 @@ def main(argv=None):
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
-    model = ProteinReDiffModel(
-        cfg.replace(training_mode=False, **sampler_cfg_overrides(args))
-    )
+    model = ProteinReDiffModel(apply_serving_defaults(
+        cfg.replace(training_mode=False, **sampler_cfg_overrides(args)),
+        args,
+    ))
 
     import random as _random
 

@@ -374,6 +374,7 @@ def main(argv=None):
     from ..utils.esm import ESMEmbedder
     from .common import (
         SamplingRunner,
+        apply_serving_defaults,
         make_inference_mesh,
         runner_sampler_kwargs,
         sampler_cfg_overrides,
@@ -381,10 +382,10 @@ def main(argv=None):
     from .generate import _load_params
 
     params, cfg = _load_params(args.ckpt_path, num_steps=args.num_steps)
-    model = ProteinReDiffModel(cfg.replace(
+    model = ProteinReDiffModel(apply_serving_defaults(cfg.replace(
         training_mode=False, fast_softmax=args.fast_softmax,
         **sampler_cfg_overrides(args),
-    ))
+    ), args))
     embedder = ESMEmbedder(model_name=args.esm_model,
                            esm_dim=cfg.esm_dim,
                            require=args.require_esm,

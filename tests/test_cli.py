@@ -190,6 +190,38 @@ class TestCommonHelpers:
         assert off["pair_stream_bf16"] is False
         assert off["outer_factored"] is False
 
+    def test_serving_default_pair_stream_bf16_wide_head(self):
+        """apply_serving_defaults (round 5): pair_stream_bf16 defaults
+        ON for wide-head (C>=64) inference — quality-gated by the
+        abs_h16 bf16pair report — while an explicit --no wins and
+        narrow-head checkpoints keep their stored value."""
+        import argparse
+
+        from protein_redesign_tpu.cli.common import (
+            add_sampler_args,
+            apply_serving_defaults,
+            sampler_cfg_overrides,
+        )
+        from protein_redesign_tpu.config import ModelConfig
+
+        def cfg_for(argv, **cfg_kw):
+            p = argparse.ArgumentParser()
+            add_sampler_args(p)
+            args = p.parse_args(argv)
+            cfg = ModelConfig(training_mode=False, **cfg_kw).replace(
+                **sampler_cfg_overrides(args)
+            )
+            return apply_serving_defaults(cfg, args)
+
+        assert cfg_for([], head_dim=64, num_heads=1).pair_stream_bf16
+        assert not cfg_for(
+            ["--no-pair_stream_bf16"], head_dim=64, num_heads=1
+        ).pair_stream_bf16
+        assert not cfg_for([], head_dim=16, num_heads=4).pair_stream_bf16
+        assert cfg_for(
+            ["--pair_stream_bf16"], head_dim=16, num_heads=4
+        ).pair_stream_bf16
+
     def test_update_seq_ignores_ligand_slots(self):
         """A non-X decode in a LIGAND slot must not frame-shift the
         residue window (in-contract those slots are masked to X; this
