@@ -52,7 +52,7 @@ timeout 12600 python -m protein_redesign_tpu.cli.train \
   --data_dir /tmp/prd_quality/data --cache_dir /tmp/prd_quality/data/cache \
   --training_mode --esm_dim 320 --single_dim 512 --pair_dim 64 \
   --num_blocks 4 --num_steps 1000 \
-  --mask_prob 0.5 --batch_size 8 --buckets 256 --no-remat \
+  --mask_prob 0.5 --batch_size 8 --buckets 256 --remat \
   --max_steps 20000 --lr_decay_steps 20000 \
   --val_every_steps 1000 --log_every_steps 100 \
   --checkpoint_top_k 3 --seed 0 --cache_device_batches \
