@@ -220,58 +220,74 @@ def main():
         f"{parity_wall:.2f} s ({parity_wall / NUM_STEPS * 1e3:.2f} ms/step)")
 
     # --- secondary: h16x4 + fast_softmax (bf16 attention probabilities;
-    # the round-3 1.61x serving lever on the XLA path)
-    fast_model = ProteinReDiffModel(cfg.replace(fast_softmax=True))
-    fast_sample = jax.jit(
-        lambda p, b, k: fast_model.sample(p, b, k, mask_prob=0.3)
-    )
-    timed_fetch(fast_sample, params, batch, key)  # compile
-    fdt, _ = timed_fetch(fast_sample, params, batch, jax.random.PRNGKey(3))
-    log(f"sample {NUM_STEPS} steps (h16x4 --fast_softmax): "
-        f"{fdt:.2f} s ({parity_wall / fdt:.2f}x)")
+    # the round-3 1.61x serving lever on the XLA path). Guarded: a
+    # failed secondary must not cost the headline.
+    fdt = None
+    try:
+        fast_model = ProteinReDiffModel(cfg.replace(fast_softmax=True))
+        fast_sample = jax.jit(
+            lambda p, b, k: fast_model.sample(p, b, k, mask_prob=0.3)
+        )
+        timed_fetch(fast_sample, params, batch, key)  # compile
+        fdt, _ = timed_fetch(fast_sample, params, batch,
+                             jax.random.PRNGKey(3))
+        log(f"sample {NUM_STEPS} steps (h16x4 --fast_softmax): "
+            f"{fdt:.2f} s ({parity_wall / fdt:.2f}x)")
+    except Exception as e:  # pragma: no cover - device-side resilience
+        log(f"fast_softmax leg FAILED {type(e).__name__}: {str(e)[:200]}")
     del params
 
     # --- HEADLINE: best-known serving stack (VERDICT r4 #6) — h64x1
     # layout (the recommended new-training layout) + bf16 pair stream +
     # fast_softmax + auto kernel plan, same bucket-192 workload.
     # DDPM-1000 is the tracked value; DDIM-50 is the low-latency row.
-    cfg_serve = cfg_h64x1.replace(
-        pair_stream_bf16=True, fast_softmax=True, training_mode=False,
-    )
-    model_serve = ProteinReDiffModel(cfg_serve)
-    serve_sample = jax.jit(
-        lambda p, b, k: model_serve.sample(p, b, k, mask_prob=0.3)
-    )
-    timed_fetch(serve_sample, params_h64x1, batch, key)  # compile
-    sdt1, _ = timed_fetch(serve_sample, params_h64x1, batch,
-                          jax.random.PRNGKey(4))
-    sdt2, _ = timed_fetch(serve_sample, params_h64x1, batch,
-                          jax.random.PRNGKey(5))
-    best_wall = min(sdt1, sdt2)
-    log(f"sample {NUM_STEPS} steps [BEST h64x1 bf16-stream fast]: "
-        f"{best_wall:.2f} s ({best_wall / NUM_STEPS * 1e3:.2f} ms/step; "
-        f"{parity_wall / best_wall:.2f}x vs parity row)")
+    # Guarded: if a serving leg dies (compile OOM, relay drop), the
+    # parity row becomes the reported value — one JSON line either way.
+    best_wall = ddt = None
+    try:
+        cfg_serve = cfg_h64x1.replace(
+            pair_stream_bf16=True, fast_softmax=True, training_mode=False,
+        )
+        model_serve = ProteinReDiffModel(cfg_serve)
+        serve_sample = jax.jit(
+            lambda p, b, k: model_serve.sample(p, b, k, mask_prob=0.3)
+        )
+        timed_fetch(serve_sample, params_h64x1, batch, key)  # compile
+        sdt1, _ = timed_fetch(serve_sample, params_h64x1, batch,
+                              jax.random.PRNGKey(4))
+        sdt2, _ = timed_fetch(serve_sample, params_h64x1, batch,
+                              jax.random.PRNGKey(5))
+        best_wall = min(sdt1, sdt2)
+        log(f"sample {NUM_STEPS} steps [BEST h64x1 bf16-stream fast]: "
+            f"{best_wall:.2f} s ({best_wall / NUM_STEPS * 1e3:.2f} ms/step; "
+            f"{parity_wall / best_wall:.2f}x vs parity row)")
 
-    ddim_sample = jax.jit(
-        lambda p, b, k: model_serve.sample_ddim(p, b, k, ddim_steps=50)
-    )
-    timed_fetch(ddim_sample, params_h64x1, batch, key)  # compile
-    ddt, _ = timed_fetch(ddim_sample, params_h64x1, batch,
-                         jax.random.PRNGKey(6))
-    log(f"sample DDIM-50 [BEST serving stack]: {ddt:.3f} s "
-        f"({ddt / 50 * 1e3:.2f} ms/step)")
+        ddim_sample = jax.jit(
+            lambda p, b, k: model_serve.sample_ddim(p, b, k, ddim_steps=50)
+        )
+        timed_fetch(ddim_sample, params_h64x1, batch, key)  # compile
+        ddt, _ = timed_fetch(ddim_sample, params_h64x1, batch,
+                             jax.random.PRNGKey(6))
+        log(f"sample DDIM-50 [BEST serving stack]: {ddt:.3f} s "
+            f"({ddt / 50 * 1e3:.2f} ms/step)")
+    except Exception as e:  # pragma: no cover - device-side resilience
+        log(f"serving-stack leg FAILED {type(e).__name__}: {str(e)[:200]}")
 
+    value = best_wall if best_wall is not None else parity_wall
+    serving = {}
+    if best_wall is not None:
+        serving["h64x1_bf16stream_fast_ddpm1000_s"] = round(best_wall, 3)
+    if ddt is not None:
+        serving["h64x1_bf16stream_fast_ddim50_s"] = round(ddt, 3)
+    if fdt is not None:
+        serving["h16x4_fast_softmax_ddpm1000_s"] = round(fdt, 3)
     print(json.dumps({
         "metric": "sample_1000step_wallclock_192nodes_best",
-        "value": round(best_wall, 3),
+        "value": round(value, 3),
         "unit": "s",
-        "vs_baseline": round(NORTH_STAR_S / best_wall, 3),
+        "vs_baseline": round(NORTH_STAR_S / value, 3),
         "parity_h16x4_s": round(parity_wall, 3),
-        "serving": {
-            "h64x1_bf16stream_fast_ddpm1000_s": round(best_wall, 3),
-            "h64x1_bf16stream_fast_ddim50_s": round(ddt, 3),
-            "h16x4_fast_softmax_ddpm1000_s": round(fdt, 3),
-        },
+        "serving": serving,
         "mfu": mfu_rows,
     }))
 
