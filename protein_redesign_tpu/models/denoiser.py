@@ -584,12 +584,19 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     # multi-head wide config (e.g. head_dim=64, num_heads=4) doubles+
     # the per-row VMEM working set at unmeasured shapes, so it keeps
     # the XLA plan until a stepkern cell measures it (advisor r4).
+    # Round-5 long-context rungs (r5_probes.py widelong, v5e): the
+    # C=64 kernel also WINS the 768/1024 rungs — whole-fwd 1.33x at
+    # 768 (83.98 vs 111.87 ms) and 1.46x at 1024 (162.96 vs 237.41),
+    # train-remat 1.60x at 768 (364.8 vs 582.1 ms/step) — so the gate
+    # ceiling extends from LONGCTX_CHUNK_MIN_N to 1024 inclusive
+    # (2048 stays on the measured chunked/CN plans: unmeasured at C=64
+    # whole-program, and the train step exceeds one v5e's HBM there).
     wide_infer_min = 384 if cfg.pair_stream_bf16 else 512
     if (
         (inference or trainable)
         and cfg.head_dim >= 64
         and cfg.num_heads == 1
-        and n < LONGCTX_CHUNK_MIN_N
+        and n <= 1024
         and n >= max(cfg.pallas_auto_min_n, wide_infer_min if inference else 384)
     ):
         return True, 0

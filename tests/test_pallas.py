@@ -744,8 +744,17 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             train_cfg.replace(head_dim=64, num_heads=1), 512
         ) == (True, 0)
+        # Round-5 widelong rungs: the C=64 kernel wins 768/1024 too
+        # (train-remat 1.60x at 768; fwd 1.33x/1.46x) — gate extended
+        # to 1024 inclusive; 2048 keeps the measured chunked plan.
         assert resolve_attention_plan(
             train_cfg.replace(head_dim=64, num_heads=1), 768
+        ) == (True, 0)
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64, num_heads=1), 1024
+        ) == (True, 0)
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64, num_heads=1), 2048
         ) == (False, 128)
         assert resolve_attention_plan(
             train_cfg.replace(head_dim=64, num_heads=1,
@@ -792,7 +801,10 @@ class TestAutoPallasPolicy:
             384
         ) == (True, 0)
         h64 = cfg.replace(head_dim=64, num_heads=1, dtype="bfloat16")
-        assert resolve_attention_plan(h64, 1024) == (False, 0)
+        # Round-5: wide-head INFERENCE kernel extends through 1024
+        # (fwd 1.33x/1.46x at 768/1024, widelong rungs).
+        assert resolve_attention_plan(h64, 768) == (True, 0)
+        assert resolve_attention_plan(h64, 1024) == (True, 0)
         assert resolve_attention_plan(h64, 2048) == (False, 128)
         # TINY is f32 with 2 heads: 1024^3 * 2 heads * 4 B = 8.6 GB >
         # 4 GB -> chunked fallback, matching the narrow-head case.
