@@ -580,23 +580,29 @@ def resolve_attention_plan(cfg: ModelConfig, n: int) -> Tuple[bool, int]:
     # Inference joins a rung earlier (384) under the bf16 pair stream:
     # with the stream's HBM relief the kernel wins there too (12.35 ->
     # 11.77 ms whole-fwd, r4 bf16pair probe) where it tied at f32.
-    # Every number backing this branch is single-head (h64x1); a
-    # multi-head wide config (e.g. head_dim=64, num_heads=4) doubles+
-    # the per-row VMEM working set at unmeasured shapes, so it keeps
-    # the XLA plan until a stepkern cell measures it (advisor r4).
     # Round-5 long-context rungs (r5_probes.py widelong, v5e): the
-    # C=64 kernel also WINS the 768/1024 rungs — whole-fwd 1.33x at
-    # 768 (83.98 vs 111.87 ms) and 1.46x at 1024 (162.96 vs 237.41),
-    # train-remat 1.60x at 768 (364.8 vs 582.1 ms/step) — so the gate
-    # ceiling extends from LONGCTX_CHUNK_MIN_N to 1024 inclusive
-    # (2048 stays on the measured chunked/CN plans: unmeasured at C=64
-    # whole-program, and the train step exceeds one v5e's HBM there).
-    wide_infer_min = 384 if cfg.pair_stream_bf16 else 512
+    # C=64 single-head kernel also WINS the 768/1024 rungs — whole-fwd
+    # 1.33x at 768 (83.98 vs 111.87 ms) and 1.46x at 1024 (162.96 vs
+    # 237.41), train-remat 1.60x at 768 (364.8 vs 582.1 ms/step) — so
+    # the h64x1 gate ceiling extends from LONGCTX_CHUNK_MIN_N to 1024
+    # inclusive (2048 stays on the measured chunked/CN plans:
+    # unmeasured at C=64 whole-program, and the train step exceeds one
+    # v5e's HBM there). MULTI-head wide (h64x4, r5_probes widemh):
+    # kernel fwd 1.19x/1.49x and train 1.25x at N=384/512 — and at 512
+    # the no-remat XLA train step fails to compile server-side where
+    # the kernel runs (238.4 ms) — so multi-head engages at the
+    # MEASURED 384..512 only; its 768+ rungs stay unmeasured (the
+    # per-row VMEM working set is H x the single-head case).
+    # Single-head f32 inference ties at 384 (13.27 vs 13.12) so it
+    # joins at 512; multi-head inference wins 384 outright (1.19x).
+    wide_infer_min = (
+        384 if (cfg.pair_stream_bf16 or cfg.num_heads > 1) else 512
+    )
+    wide_max_n = 1024 if cfg.num_heads == 1 else 512
     if (
         (inference or trainable)
         and cfg.head_dim >= 64
-        and cfg.num_heads == 1
-        and n <= 1024
+        and n <= wide_max_n
         and n >= max(cfg.pallas_auto_min_n, wide_infer_min if inference else 384)
     ):
         return True, 0

@@ -760,10 +760,16 @@ class TestAutoPallasPolicy:
             train_cfg.replace(head_dim=64, num_heads=1,
                               use_pallas_bwd=False), 512
         ) == (False, 0)
-        # h64x4 (unmeasured): no auto-kernel.
+        # h64x4 (round-5 widemh cell): kernel train 1.25x at 384, and
+        # at 512 the XLA no-remat train step fails to compile where the
+        # kernel runs — multi-head wide engages at the measured
+        # 384..512; 768+ stays on the fallback plans (unmeasured).
         assert resolve_attention_plan(
             train_cfg.replace(head_dim=64, num_heads=4), 512
-        ) == (False, 0)
+        ) == (True, 0)
+        assert resolve_attention_plan(
+            train_cfg.replace(head_dim=64, num_heads=4), 768
+        ) == (False, 128)
         # Sequence-parallel keeps its non-kernel plan in training.
         assert resolve_attention_plan(
             train_cfg.replace(sequence_parallel=True), 512
@@ -790,10 +796,14 @@ class TestAutoPallasPolicy:
         assert resolve_attention_plan(
             cfg.replace(head_dim=32), 512
         ) == (False, 0)
-        # Multi-head wide inference: unmeasured, stays XLA (advisor r4).
+        # Multi-head wide inference (widemh): kernel 1.19x at 384 and
+        # 1.49x at 512 — joins at both measured sizes.
+        assert resolve_attention_plan(
+            cfg.replace(head_dim=64, num_heads=4), 384
+        ) == (True, 0)
         assert resolve_attention_plan(
             cfg.replace(head_dim=64, num_heads=4), 512
-        ) == (False, 0)
+        ) == (True, 0)
         # Under the bf16 pair stream, wide-head inference joins at 384
         # (12.35 -> 11.77 ms whole-fwd, r4 bf16pair probe).
         assert resolve_attention_plan(
