@@ -293,4 +293,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - device-side resilience
+        # The tunneled relay drops live connections mid-compile
+        # (measured round 5: four drops in one session; one killed a
+        # bench run inside init_params, before any guarded leg). Every
+        # program compiled before the drop is already in the persistent
+        # cache, so one fresh-process retry typically completes in a
+        # fraction of the first attempt. SystemExit (relay-unreachable
+        # after the full wait) is deliberately not caught.
+        import os
+
+        if os.environ.get("PRD_BENCH_REEXEC") != "1":
+            log(f"bench attempt failed ({type(e).__name__}: "
+                f"{str(e)[:200]}); re-exec once on the warm cache")
+            os.environ["PRD_BENCH_REEXEC"] = "1"
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
